@@ -189,16 +189,18 @@ _STAGGER_OFFSETS = {
 }
 
 
-def _region_of(x, y, n):
+def _region_of(x, y, n, halo):
     """Which halo region a continuous local point (x, y) falls in.
 
-    Returns an integer array: 0 interior/compute, 1..4 = W/E/S/N edge halo,
-    5 = corner wedge (diagonal, no unique source tile).
+    Returns an integer array: 0 interior/compute/padding, 1..4 = W/E/S/N edge
+    halo, 5 = corner wedge (diagonal, no unique source tile).  Points beyond
+    the halo band (alignment padding) are treated as interior (identity map).
     """
-    west = x < 0
-    east = x > n
-    south = y < 0
-    north = y > n
+    in_band = (x >= -halo) & (x <= n + halo) & (y >= -halo) & (y <= n + halo)
+    west = (x < 0) & in_band
+    east = (x > n) & in_band
+    south = (y < 0) & in_band
+    north = (y > n) & in_band
     edge_count = (
         west.astype(int) + east.astype(int) + south.astype(int)
         + north.astype(int)
@@ -237,7 +239,9 @@ class CubedSphereTopology:
     def __init__(self, n: int, halo: int = constants.N_HALO_DEFAULT):
         self.n = n
         self.halo = halo
-        self.N = n + 2 * halo + 1
+        # storage padded to a multiple of 8: TPU-lane friendly and evenly
+        # shardable over meshes of 2/4/8 per horizontal axis
+        self.N = -(-(n + 2 * halo + 1) // 8) * 8
         self.transforms = edge_transforms()
         self._specs: Dict[str, HaloSpec] = {}
 
@@ -301,7 +305,7 @@ class CubedSphereTopology:
         specs_t, specs_i, specs_j, valid = [], [], [], []
         for t in range(6):
             x, y, I, J = self._point_coords(stagger)
-            region = _region_of(x, y, self.n)
+            region = _region_of(x, y, self.n, self.halo)
             src_t, xp, yp = self._source_point(t, region, x, y)
             # back to storage indices in the source tile
             si = np.rint(xp - ox).astype(np.int64) + self.halo
@@ -347,7 +351,7 @@ class CubedSphereTopology:
         all_t, all_i, all_j, all_c, all_s, valid = [], [], [], [], [], []
         for t in range(6):
             x, y, I, J = self._point_coords(stagger)
-            region = _region_of(x, y, self.n)
+            region = _region_of(x, y, self.n, self.halo)
             src_t = np.full(x.shape, t, dtype=np.int64)
             si = I.copy(); sj = J.copy()
             sc = np.full(x.shape, comp, dtype=np.int64)

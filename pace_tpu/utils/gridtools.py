@@ -47,8 +47,10 @@ class GridSizing:
     # --- storage shape ---------------------------------------------------
     @property
     def N(self) -> int:
-        """Padded horizontal array size: n + 2*halo + 1 (room for interfaces)."""
-        return self.n + 2 * self.halo + 1
+        """Padded horizontal array size: n + 2*halo + 1 (room for interfaces)
+        rounded up to a multiple of 8 — TPU-lane friendly and evenly
+        shardable over meshes of 2/4/8 per horizontal axis."""
+        return -(-(self.n + 2 * self.halo + 1) // 8) * 8
 
     @property
     def shape2d(self) -> Tuple[int, int, int]:
