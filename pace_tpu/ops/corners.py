@@ -1,0 +1,222 @@
+"""Cube-corner wedge fills.
+
+At each cube corner only three tiles meet, so the diagonal "wedge" of halo
+points beyond a tile corner has no unique source tile; FV3 stencils instead
+fill the wedge from the tile's own edge-halo data, rotated 90 degrees about
+the corner, in the direction the next stencil will difference.
+
+TPU-native port of the reference corner machinery (ai2cm/pace
+stencils/pace/stencils/corners.py: copy_corners_x/y stencils :307-430,
+fill_corners_2d :820, fill_corners_agrid :855, fill_corners_dgrid :945,
+fill_corners_cgrid :1014).  Instead of 9-36 gtscript `region` special cases
+per variant, each fill is a precomputed index table applied as one vectorized
+scatter over all 6 tiles (every tile owns 4 cube corners in the global
+layout).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _corner_anchors(n: int, h: int):
+    """Anchor indices in storage coordinates: first/last compute cell and
+    first/last interface index."""
+    isc = h           # first compute cell
+    iec = h + n - 1   # last compute cell (inclusive)
+    ise = h + n       # last interface index
+    return isc, iec, ise
+
+
+def _as_index_arrays(pairs):
+    tgt = np.array([p[0] for p in pairs], dtype=np.int32)
+    src = np.array([p[1] for p in pairs], dtype=np.int32)
+    return (
+        jnp.asarray(tgt[:, 0]), jnp.asarray(tgt[:, 1]),
+        jnp.asarray(src[:, 0]), jnp.asarray(src[:, 1]),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _copy_corners_table(n: int, h: int, direction: str):
+    """Index table for the Fortran copy_corners_x/y used by FvTp2d: fill the
+    four wedges with edge-halo data rotated so the field can be differenced
+    along `direction` across tile edges."""
+    isc, iec, _ = _corner_anchors(n, h)
+    jsc, jec = isc, iec
+    pairs = []
+    for di in range(1, h + 1):
+        for dj in range(1, h + 1):
+            if direction == "x":
+                # sw: (isc-di, jsc-dj) <- (isc-dj, jsc+di-1)
+                pairs.append(((isc - di, jsc - dj), (isc - dj, jsc + di - 1)))
+                # se: (iec+di, jsc-dj) <- (iec+dj, jsc+di-1)
+                pairs.append(((iec + di, jsc - dj), (iec + dj, jsc + di - 1)))
+                # nw: (isc-di, jec+dj) <- (isc-dj, jec-di+1)
+                pairs.append(((isc - di, jec + dj), (isc - dj, jec - di + 1)))
+                # ne: (iec+di, jec+dj) <- (iec+dj, jec-di+1)
+                pairs.append(((iec + di, jec + dj), (iec + dj, jec - di + 1)))
+            else:
+                # mirror of the x-direction table across the diagonal
+                pairs.append(((isc - dj, jsc - di), (isc + di - 1, jsc - dj)))
+                pairs.append(((iec + dj, jsc - di), (iec - di + 1, jsc - dj)))
+                pairs.append(((isc - dj, jec + di), (isc + di - 1, jec + dj)))
+                pairs.append(((iec + dj, jec + di), (iec - di + 1, jec + dj)))
+    return _as_index_arrays(pairs)
+
+
+def copy_corners(q: jnp.ndarray, n: int, h: int, direction: str) -> jnp.ndarray:
+    """Fortran copy_corners_x / copy_corners_y on a (6, N, N, ...) field."""
+    ti, tj, si, sj = _copy_corners_table(n, h, direction)
+    return q.at[:, ti, tj].set(q[:, si, sj])
+
+
+def copy_corners_xy(q: jnp.ndarray, n: int, h: int):
+    """Returns (x_differenceable, y_differenceable) copies of q."""
+    return copy_corners(q, n, h, "x"), copy_corners(q, n, h, "y")
+
+
+@functools.lru_cache(maxsize=None)
+def _fill_corners_2d_table(n: int, h: int, gridtype: str, direction: str):
+    """Tables for reference fill_corners_2d (A- or B-grid scalars)."""
+    isc, iec, ise = _corner_anchors(n, h)
+    jsc, jec, jse = isc, iec, ise
+    pairs = []
+    for di in range(1, h + 1):
+        for dj in range(1, h + 1):
+            i, j = di, dj
+            if gridtype == "B":
+                if direction == "x":
+                    pairs.append(((isc - i, jsc - j), (isc - j, jsc + i)))
+                    pairs.append(((isc - i, jse + j), (isc - j, jse - i)))
+                    pairs.append(((ise + i, jsc - j), (ise + j, jsc + i)))
+                    pairs.append(((ise + i, jse + j), (ise + j, jse - i)))
+                else:
+                    pairs.append(((isc - j, jsc - i), (isc + i, jsc - j)))
+                    pairs.append(((isc - j, jse + i), (isc + i, jse + j)))
+                    pairs.append(((ise + j, jsc - i), (ise - i, jsc - j)))
+                    pairs.append(((ise + i, jse + j), (ise - i, jse + j)))
+            else:  # A-grid
+                if direction == "x":
+                    pairs.append(((isc - i, jsc - j), (isc - j, jsc + i - 1)))
+                    pairs.append(((isc - i, jec + j), (isc - j, jec - i + 1)))
+                    pairs.append(((iec + i, jsc - j), (iec + j, jsc + i - 1)))
+                    pairs.append(((iec + i, jec + j), (iec + j, jec - i + 1)))
+                else:
+                    pairs.append(((isc - j, jsc - i), (isc + i - 1, jsc - j)))
+                    pairs.append(((isc - j, jec + i), (isc + i - 1, jec + j)))
+                    pairs.append(((iec + j, jsc - i), (iec - i + 1, jsc - j)))
+                    pairs.append(((iec + j, jec + i), (iec - i + 1, jec + j)))
+    return _as_index_arrays(pairs)
+
+
+def fill_corners_2d(q: jnp.ndarray, n: int, h: int, gridtype: str,
+                    direction: str = "x") -> jnp.ndarray:
+    ti, tj, si, sj = _fill_corners_2d_table(n, h, gridtype, direction)
+    return q.at[:, ti, tj].set(q[:, si, sj])
+
+
+@functools.lru_cache(maxsize=None)
+def _fill_corners_vector_tables(n: int, h: int, grid: str):
+    """Tables for vector-pair corner fills on the A, C or D grid.
+
+    Each entry: (target array 0=x/1=y, tgt_idx, source array, src_idx, sign_is_mysign)
+    where sign_is_mysign marks entries multiplied by -1 for true vectors.
+    """
+    isc, iec, ise = _corner_anchors(n, h)
+    jsc, jec, jse = isc, iec, ise
+    # each pair: (tgt_arr, (ti,tj), src_arr, (si,sj), use_mysign: bool)
+    entries = []
+    for i in range(1, h + 1):
+        for j in range(1, h + 1):
+            if grid == "A":
+                entries += [
+                    (0, (isc - i, jsc - j), 1, (isc - j, jsc - 1 + i), True),
+                    (1, (isc - j, jsc - i), 0, (isc - 1 + i, jsc - j), True),
+                    (0, (isc - i, jec + j), 1, (isc - j, jec - i + 1), False),
+                    (1, (isc - j, jec + i), 0, (isc - 1 + i, jec + j), False),
+                    (0, (iec + i, jsc - j), 1, (iec + j, jsc - 1 + i), False),
+                    (1, (iec + j, jsc - i), 0, (iec - i + 1, jsc - j), False),
+                    (0, (iec + i, jec + j), 1, (iec + j, jec - i + 1), True),
+                    (1, (iec + j, jec + i), 0, (iec - i + 1, jec + j), True),
+                ]
+            elif grid == "D":
+                # x is (X_DIM, Y_INTERFACE), y is (X_INTERFACE, Y_DIM)
+                entries += [
+                    (0, (isc - i, jsc - j), 1, (isc - j, jsc + i - 1), True),
+                    (1, (isc - i, jsc - j), 0, (isc + j - 1, jsc - i), True),
+                    (0, (isc - i, jse + j), 1, (isc - j, jse - i), False),
+                    (1, (isc - i, jec + j), 0, (isc + j - 1, jse + i), False),
+                    (0, (iec + i, jsc - j), 1, (ise + j, jsc + i - 1), False),
+                    (1, (ise + i, jsc - j), 0, (iec - j + 1, jsc - i), False),
+                    (0, (iec + i, jse + j), 1, (ise + j, jse - i), True),
+                    (1, (ise + i, jec + j), 0, (iec - j + 1, jse + i), True),
+                ]
+            elif grid == "C":
+                # x is (X_INTERFACE, Y_DIM), y is (X_DIM, Y_INTERFACE)
+                entries += [
+                    (0, (isc - i, jsc - j), 1, (isc + j - 1, jsc - i), False),
+                    (1, (isc - i, jsc - j), 0, (isc - j, jsc + i - 1), False),
+                    (0, (isc - i, jec + j), 1, (isc + j - 1, jse + i), True),
+                    (1, (isc - i, jse + j), 0, (isc - j, jse - i), True),
+                    (0, (ise + i, jsc - j), 1, (ise - j, jsc - i), True),
+                    (1, (iec + i, jsc - j), 0, (ise + j, jsc + i - 1), True),
+                    (0, (ise + i, jec + j), 1, (ise - j, jse + i), False),
+                    (1, (iec + i, jse + j), 0, (ise + j, jse - i), False),
+                ]
+            else:
+                raise ValueError(grid)
+    by_target = {0: [], 1: []}
+    for tgt_arr, tgt, src_arr, src, use_sign in entries:
+        by_target[tgt_arr].append((tgt, src, src_arr, use_sign))
+    tables = {}
+    for tgt_arr, rows in by_target.items():
+        ti = jnp.asarray(np.array([r[0][0] for r in rows], np.int32))
+        tj = jnp.asarray(np.array([r[0][1] for r in rows], np.int32))
+        si = jnp.asarray(np.array([r[1][0] for r in rows], np.int32))
+        sj = jnp.asarray(np.array([r[1][1] for r in rows], np.int32))
+        sa = jnp.asarray(np.array([r[2] for r in rows], np.int32))
+        sg = jnp.asarray(np.array([r[3] for r in rows], np.int32))
+        tables[tgt_arr] = (ti, tj, si, sj, sa, sg)
+    return tables
+
+
+def fill_corners_vector(
+    x: jnp.ndarray, y: jnp.ndarray, n: int, h: int, grid: str,
+    vector: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fill corner wedges of a staggered vector pair (A/C/D grid).
+
+    With vector=True, entries crossing an odd number of reflections get a
+    sign flip (reference `mysign=-1`); vector=False is used for unsigned
+    metric pairs like (dx, dy)."""
+    tables = _fill_corners_vector_tables(n, h, grid)
+    mysign = -1.0 if vector else 1.0
+    outs = []
+    for tgt_arr, arr in ((0, x), (1, y)):
+        ti, tj, si, sj, sa, sg = tables[tgt_arr]
+        from_x = x[:, si, sj]
+        from_y = y[:, si, sj]
+        ndim_extra = x.ndim - 3
+        sa_b = sa.reshape(sa.shape + (1,) * ndim_extra)
+        sg_b = sg.reshape(sg.shape + (1,) * ndim_extra)
+        vals = jnp.where(sa_b == 0, from_x, from_y)
+        sign = jnp.where(sg_b == 1, mysign, 1.0).astype(arr.dtype)
+        outs.append(arr.at[:, ti, tj].set(sign * vals))
+    return outs[0], outs[1]
+
+
+def fill_corners_dgrid(x, y, n, h, vector=True):
+    return fill_corners_vector(x, y, n, h, "D", vector)
+
+
+def fill_corners_cgrid(x, y, n, h, vector=True):
+    return fill_corners_vector(x, y, n, h, "C", vector)
+
+
+def fill_corners_agrid(x, y, n, h, vector=True):
+    return fill_corners_vector(x, y, n, h, "A", vector)
