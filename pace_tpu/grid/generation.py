@@ -495,16 +495,17 @@ def _generate_metric_terms(n: int, halo: int):
     # ---- 8. supergrid trig ------------------------------------------------
     cos_sg = np.full((6, N, N, 9), BIG_NUMBER)
     dg = dgrid_xyz
-    cos_sg[:, cm, cm, 4] = geometry.spherical_cos(
+    # sg6..sg9: angles at the four cell corners (ll, lr, ur, ul)
+    cos_sg[:, cm, cm, 5] = geometry.spherical_cos(
         dg[:, :M - 1, :M - 1], dg[:, 1:M, :M - 1], dg[:, :M - 1, 1:M]
     )
-    cos_sg[:, cm, cm, 5] = -geometry.spherical_cos(
+    cos_sg[:, cm, cm, 6] = -geometry.spherical_cos(
         dg[:, 1:M, :M - 1], dg[:, :M - 1, :M - 1], dg[:, 1:M, 1:M]
     )
-    cos_sg[:, cm, cm, 6] = geometry.spherical_cos(
+    cos_sg[:, cm, cm, 7] = geometry.spherical_cos(
         dg[:, 1:M, 1:M], dg[:, 1:M, :M - 1], dg[:, :M - 1, 1:M]
     )
-    cos_sg[:, cm, cm, 7] = -geometry.spherical_cos(
+    cos_sg[:, cm, cm, 8] = -geometry.spherical_cos(
         dg[:, :M - 1, 1:M], dg[:, :M - 1, :M - 1], dg[:, 1:M, 1:M]
     )
     mid = gnomonic.xyz_midpoint(dg[:, :M - 1, :M - 1], dg[:, :M - 1, 1:M])

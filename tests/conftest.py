@@ -17,4 +17,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize imports jax and registers the tunneled TPU
+# ("axon") platform before this file runs, so the env vars above are not
+# enough on their own — force the platform via the config API too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_num_cpu_devices", 8)
