@@ -210,6 +210,46 @@ def fill_corners_vector(
     return outs[0], outs[1]
 
 
+@functools.lru_cache(maxsize=None)
+def _fill_corners_cells_table(n: int, h: int, direction: str, ncells: int):
+    """Index/sign tables for the reference fill_corners_{2,3}cells_mult_{x,y}
+    (stencils/corners.py:130-310): fill `ncells` halo cells beyond each tile
+    corner along `direction` from a companion field, with per-corner sign."""
+    isc, iec, _ = _corner_anchors(n, h)
+    jsc, jec = isc, iec
+    rows = []  # (tgt, src, corner_id) corner ids: 0=sw 1=se 2=nw 3=ne
+    for d in range(1, ncells + 1):
+        if direction == "x":
+            rows.append((((isc - d, jsc - 1), (isc - 1, jsc + d - 1), 0)))
+            rows.append((((iec + d, jsc - 1), (iec + 1, jsc + d - 1), 1)))
+            rows.append((((isc - d, jec + 1), (isc - 1, jec - d + 1), 2)))
+            rows.append((((iec + d, jec + 1), (iec + 1, jec - d + 1), 3)))
+        else:
+            rows.append((((isc - 1, jsc - d), (isc + d - 1, jsc - 1), 0)))
+            rows.append((((iec + 1, jsc - d), (iec - d + 1, jsc - 1), 1)))
+            rows.append((((isc - 1, jec + d), (isc + d - 1, jec + 1), 2)))
+            rows.append((((iec + 1, jec + d), (iec - d + 1, jec + 1), 3)))
+    ti = jnp.asarray(np.array([r[0][0] for r in rows], np.int32))
+    tj = jnp.asarray(np.array([r[0][1] for r in rows], np.int32))
+    si = jnp.asarray(np.array([r[1][0] for r in rows], np.int32))
+    sj = jnp.asarray(np.array([r[1][1] for r in rows], np.int32))
+    cid = jnp.asarray(np.array([r[2] for r in rows], np.int32))
+    return ti, tj, si, sj, cid
+
+
+def fill_corners_cells(
+    q: jnp.ndarray, q_corner: jnp.ndarray, n: int, h: int, direction: str,
+    ncells: int, sw_mult=1.0, se_mult=1.0, nw_mult=1.0, ne_mult=1.0,
+) -> jnp.ndarray:
+    """fill_corners_{2,3}cells_mult_{x,y}: write rotated companion-field data
+    into `ncells` corner halo cells of q."""
+    ti, tj, si, sj, cid = _fill_corners_cells_table(n, h, direction, ncells)
+    mults = jnp.asarray([sw_mult, se_mult, nw_mult, ne_mult], q.dtype)[cid]
+    vals = q_corner[:, si, sj]
+    extra = (1,) * (q.ndim - 3)
+    return q.at[:, ti, tj].set(mults.reshape(mults.shape + extra) * vals)
+
+
 def fill_corners_dgrid(x, y, n, h, vector=True):
     return fill_corners_vector(x, y, n, h, "D", vector)
 

@@ -1,0 +1,72 @@
+"""Helpers for writing FV3 stencils as jnp whole-array expressions.
+
+The reference compiles each stencil over an origin/domain window
+(ai2cm/pace dsl/pace/dsl/stencil.py FrozenStencil); here stencils are plain
+functions over full (6, N, N[, nz]) arrays.  `shift(q, di, dj)` gives the
+whole-array shifted view (edge-replicated at the array boundary, which is
+always outside any region a stencil writes), and `set_region` writes an
+expression into a static (i, j) window, leaving the rest unchanged — XLA
+dead-code-eliminates the unused lanes of the expression.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def shift(q: jnp.ndarray, di: int = 0, dj: int = 0, dk: int = 0) -> jnp.ndarray:
+    """out[..., i, j, k] = q[..., i+di, j+dj, k+dk] with edge replication at
+    array bounds (axes 1, 2 are i, j; axis 3 if present is k)."""
+    out = q
+    if di:
+        out = _shift_axis(out, di, 1)
+    if dj:
+        out = _shift_axis(out, dj, 2)
+    if dk:
+        out = _shift_axis(out, dk, 3)
+    return out
+
+
+def _shift_axis(q, d, axis):
+    n = q.shape[axis]
+    idx = [slice(None)] * q.ndim
+    if d > 0:
+        idx[axis] = slice(d, None)
+        body = q[tuple(idx)]
+        idx[axis] = slice(n - 1, None)
+        edge = q[tuple(idx)]
+        reps = [1] * q.ndim
+        reps[axis] = d
+        return jnp.concatenate([body, jnp.tile(edge, reps)], axis=axis)
+    else:
+        idx[axis] = slice(None, d)
+        body = q[tuple(idx)]
+        idx[axis] = slice(0, 1)
+        edge = q[tuple(idx)]
+        reps = [1] * q.ndim
+        reps[axis] = -d
+        return jnp.concatenate([jnp.tile(edge, reps), body], axis=axis)
+
+
+def set_region(dest: jnp.ndarray, sx: slice, sy: slice,
+               expr: jnp.ndarray) -> jnp.ndarray:
+    """dest[:, sx, sy] = expr[:, sx, sy] (expr is a whole-array expression)."""
+    return dest.at[:, sx, sy].set(expr[:, sx, sy])
+
+
+def region_add(dest, sx, sy, expr):
+    return dest.at[:, sx, sy].add(expr[:, sx, sy])
+
+
+def sign(a, b):
+    """|a| with the sign of b (Fortran SIGN; b==0 counts as positive...
+    reference `sign` uses b > 0)."""
+    return jnp.where(b > 0, jnp.abs(a), -jnp.abs(a))
+
+
+def dim(a, b):
+    return jnp.maximum(a - b, 0.0)
+
+
+def absolute_value(a):
+    return jnp.abs(a)
