@@ -770,31 +770,23 @@ def _supergrid_corner_fix(cos_sg, sin_sg, n, h):
         arr[:, hi, lo] = fill
         arr[:, hi, hi] = fill
 
-    def sw_ccw(f_in, f_out):
-        f_out[:, h - 1, 0:h] = f_in[:, 0:h, h]
-
-    def sw_cw(f_in, f_out):
-        f_out[:, 0:h, h - 1] = f_in[:, h, 0:h]
-
-    def flip_j(a):
-        return a[:, :, ::-1]
-
-    def flip_i(a):
-        return a[:, ::-1, :]
-
+    # explicit index forms of the reference's flip-composed rotations
+    # (mirrors evaluated on the ACTIVE cell region [0, n+2h), not the
+    # padded array)
+    e = h + n  # first east/north wedge cell index (= mc - h)
     for sg in (sin_sg, cos_sg):
-        # sw
-        sw_ccw(sg[..., 1], sg[..., 2])
-        sw_cw(sg[..., 0], sg[..., 3])
-        # nw (mirror in j)
-        sw_cw(flip_j(sg[..., 0]), flip_j(sg[..., 1]))
-        sw_ccw(flip_j(sg[..., 3]), flip_j(sg[..., 2]))
-        # se (mirror in i)
-        sw_cw(flip_i(sg[..., 1]), flip_i(sg[..., 0]))
-        sw_ccw(flip_i(sg[..., 2]), flip_i(sg[..., 3]))
-        # ne (mirror in i and j)
-        sw_ccw(flip_i(flip_j(sg[..., 3])), flip_i(flip_j(sg[..., 0])))
-        sw_cw(flip_i(flip_j(sg[..., 2])), flip_i(flip_j(sg[..., 1])))
+        # sw: ccw(sg2 -> sg3), cw(sg1 -> sg4)
+        sg[:, h - 1, 0:h, 2] = sg[:, 0:h, h, 1]
+        sg[:, 0:h, h - 1, 3] = sg[:, h, 0:h, 0]
+        # nw: ccw(sg1 -> sg2), cw(sg4 -> sg3)
+        sg[:, 0:h, e, 1] = sg[:, h, e:e + h, 0][:, ::-1]
+        sg[:, h - 1, e:e + h, 2] = sg[:, 0:h, e - 1, 3][:, ::-1]
+        # se: cw(sg2 -> sg1), ccw(sg3 -> sg4)
+        sg[:, e, 0:h, 0] = sg[:, e:e + h, h, 1][:, ::-1]
+        sg[:, e:e + h, h - 1, 3] = sg[:, e - 1, 0:h, 2][:, ::-1]
+        # ne: ccw(sg4 -> sg1), cw(sg3 -> sg2)
+        sg[:, e, e:e + h, 0] = sg[:, e:e + h, e - 1, 3]
+        sg[:, e:e + h, e, 1] = sg[:, e - 1, e:e + h, 2]
 
 
 def _edge_factors(lon, lat, lon_a, lat_a, n, h, N):

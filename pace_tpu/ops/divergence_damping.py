@@ -1,0 +1,144 @@
+"""Divergence damping on cell corners (d_sw's DivergenceDamping).
+
+jnp port of ai2cm/pace fv3core/pace/fv3core/stencils/divergence_damping.py:
+background 2nd-order damping in the top sponge levels plus nord-order
+hyperdiffusion of the corner divergence below, with Smagorinsky-like
+flow-dependent enhancement.  Vertical-range specialization
+(restrict_vertical / varied-bounds stencils) becomes static k-slicing.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from pace_tpu.ops import corners as corner_ops
+from pace_tpu.ops.a2b_ord4 import a2b_ord4
+from pace_tpu.ops.d2a2c import contravariant
+from pace_tpu.ops.stencil_utils import shift
+
+
+def _damp_tmp(q, da_min_c, d2_bg, dddmp):
+    mintmp = jnp.minimum(0.2, dddmp * jnp.abs(q))
+    return da_min_c * jnp.maximum(d2_bg, mintmp)
+
+
+def divergence_damping(
+    u, v, va, ua, divg_d, vc, uc, ke, rel_vort_agrid, gd, n, h, dt,
+    dddmp, d4_bg, nord: int, nord_col, d2_bg_col, stretched_grid=False,
+):
+    """Returns (vort_damped_bgrid, ke, delpc, divg_d)."""
+    ang, hz, dc = gd.angle, gd.horizontal, gd.damping
+    da_min = dc.da_min
+    da_min_c = dc.da_min_c
+    nord_np = np.asarray(nord_col)
+    nz = u.shape[-1]
+    nonzero_nord = int(nord)
+    nonzero_nord_k = 0
+    for k in range(len(nord_np)):
+        if nord_np[k] > 0:
+            nonzero_nord_k = k
+            nonzero_nord = int(nord_np[k])
+            break
+    kstart = nonzero_nord_k
+    do_zero_order = nonzero_nord_k > 0
+    k_idx = jnp.arange(nz)
+    high_mask = (k_idx >= kstart).reshape(1, 1, 1, nz)
+    low_mask = jnp.logical_not(high_mask)
+    d2_bg = jnp.asarray(d2_bg_col).reshape(1, 1, 1, nz).astype(u.dtype)
+
+    sin1 = ang.sin_sg[..., 0][..., None]
+    sin2 = ang.sin_sg[..., 1][..., None]
+    sin3 = ang.sin_sg[..., 2][..., None]
+    sin4 = ang.sin_sg[..., 3][..., None]
+    rarea_c = hz.rarea_c[..., None]
+
+    delpc = jnp.zeros_like(divg_d)
+    vort = jnp.zeros_like(divg_d)
+    if do_zero_order:
+        # 2nd-order damping in the sponge levels
+        vc_from_va = 0.5 * (shift(va, 0, -1) + va)
+        u_contra = contravariant(
+            u, vc_from_va, ang.cosa_v[..., None], ang.sina_v[..., None]
+        )
+        edge = jnp.where(vc > 0.0, u * shift(sin4, 0, -1), u * sin2)
+        for j in (h, h + n):
+            u_contra = u_contra.at[:, :, j].set(edge[:, :, j])
+        u_contra_dyc = u_contra * hz.dyc[..., None]
+
+        uc_from_ua = 0.5 * (shift(ua, -1) + ua)
+        v_contra = contravariant(
+            v, uc_from_ua, ang.cosa_u[..., None], ang.sina_u[..., None]
+        )
+        edge = jnp.where(uc > 0.0, v * shift(sin3, -1), v * sin1)
+        for i in (h, h + n):
+            v_contra = v_contra.at[:, i].set(edge[:, i])
+        v_contra_dxc = v_contra * hz.dxc[..., None]
+
+        delpc = (
+            shift(v_contra_dxc, 0, -1) - v_contra_dxc
+            + shift(u_contra_dyc, -1) - u_contra_dyc
+        )
+        minus = delpc - shift(v_contra_dxc, 0, -1)
+        for ci, cj in ((h, h), (h + n, h)):
+            delpc = delpc.at[:, ci, cj].set(minus[:, ci, cj])
+        plus = delpc + v_contra_dxc
+        for ci, cj in ((h, h + n), (h + n, h + n)):
+            delpc = delpc.at[:, ci, cj].set(plus[:, ci, cj])
+        delpc = rarea_c * delpc
+
+        damp = _damp_tmp(delpc * dt, da_min_c, d2_bg, dddmp)
+        vort_low = damp * delpc
+        vort = jnp.where(low_mask, vort_low, vort)
+        ke = jnp.where(low_mask, ke + vort_low, ke)
+
+    # high-k: delpc is the (original) corner divergence
+    delpc = jnp.where(high_mask, divg_d, delpc)
+
+    divg_u = dc.divg_u[..., None]
+    divg_v = dc.divg_v[..., None]
+    for it in range(nonzero_nord):
+        fillc = (it + 1) != nonzero_nord
+        if fillc:
+            fixed = corner_ops.fill_corners_2d(divg_d, n, h, "B", "x")
+            divg_d = jnp.where(high_mask, fixed, divg_d)
+        vc_i = (shift(divg_d, 1) - divg_d) * divg_u
+        if fillc:
+            fixed = corner_ops.fill_corners_2d(divg_d, n, h, "B", "y")
+            divg_d = jnp.where(high_mask, fixed, divg_d)
+        uc_i = (shift(divg_d, 0, 1) - divg_d) * divg_v
+        if fillc:
+            vc_f, uc_f = corner_ops.fill_corners_dgrid(
+                vc_i, uc_i, n, h, vector=True
+            )
+            vc_i = jnp.where(high_mask, vc_f, vc_i)
+            uc_i = jnp.where(high_mask, uc_f, uc_i)
+        new_divg = shift(uc_i, 0, -1) - uc_i + shift(vc_i, -1) - vc_i
+        minus = new_divg - shift(uc_i, 0, -1)
+        for ci, cj in ((h, h), (h + n, h)):
+            new_divg = new_divg.at[:, ci, cj].set(minus[:, ci, cj])
+        plus = new_divg + uc_i
+        for ci, cj in ((h, h + n), (h + n, h + n)):
+            new_divg = new_divg.at[:, ci, cj].set(plus[:, ci, cj])
+        if not stretched_grid:
+            new_divg = new_divg * rarea_c
+        divg_d = jnp.where(high_mask, new_divg, divg_d)
+
+    if dddmp < 1e-5:
+        vort = jnp.where(high_mask, 0.0, vort)
+    else:
+        # Smagorinsky: corner-interpolated relative vorticity
+        vort_b = a2b_ord4(rel_vort_agrid, gd, n, h)
+        smag = jnp.abs(dt) * jnp.sqrt(delpc ** 2 + vort_b ** 2)
+        vort = jnp.where(high_mask, smag, vort)
+
+    if stretched_grid:
+        dd8 = da_min * d4_bg ** (nonzero_nord + 1)
+    else:
+        dd8 = (da_min_c * d4_bg) ** (nonzero_nord + 1)
+    damp = _damp_tmp(vort, da_min_c, d2_bg, dddmp)
+    vort_high = damp * delpc + dd8 * divg_d
+    vort = jnp.where(high_mask, vort_high, vort)
+    ke = jnp.where(high_mask, ke + vort_high, ke)
+
+    return vort, ke, delpc, divg_d

@@ -217,3 +217,70 @@ def riem_solver_c(
         [hs[..., None] - below * constants.GRAV, hs[..., None]], -1
     )
     return gz_new, pef
+
+
+def riem_solver3(
+    dt, cappa, ptop, zs, ws, delz, q_con, delp, pt, zh, pe, pk3, pk, peln,
+    w, p_fac, beta, use_logp, last_call: bool,
+):
+    """D-grid full-timestep nonhydrostatic vertical solver (Riem_Solver3).
+
+    Args: layer fields (..., nz): cappa, delz, q_con, delp, pt, w;
+    interface fields (..., nz+1): zh, pe, pk3, pk, peln; zs/ws (...).
+    Returns (delz, zh, pe, ppe, pk3, pk, peln, w).
+    """
+    import math
+
+    peln1 = math.log(ptop)
+    ptk = math.exp(constants.KAPPA * peln1)
+
+    dm = delp
+    pe_init = pe
+    p_if = jnp.concatenate(
+        [jnp.full_like(dm[..., :1], ptop), ptop + jnp.cumsum(dm, -1)], -1
+    )
+    log_p_if = jnp.concatenate(
+        [jnp.full_like(dm[..., :1], peln1), jnp.log(p_if[..., 1:])], -1
+    )
+    p_if_gas = jnp.concatenate(
+        [
+            jnp.full_like(dm[..., :1], ptop),
+            ptop + jnp.cumsum(dm * (1.0 - q_con), -1),
+        ], -1,
+    )
+    log_p_if_gas = jnp.concatenate(
+        [jnp.full_like(dm[..., :1], peln1), jnp.log(p_if_gas[..., 1:])], -1
+    )
+    pk3_new = jnp.concatenate(
+        [
+            jnp.full_like(dm[..., :1], ptk),
+            jnp.exp(constants.KAPPA * log_p_if[..., 1:]),
+        ], -1,
+    )
+    gm = 1.0 / (1.0 - cappa)
+    dm = dm * constants.RGRAV
+    p_gas = (p_if_gas[..., 1:] - p_if_gas[..., :-1]) / (
+        log_p_if_gas[..., 1:] - log_p_if_gas[..., :-1]
+    )
+    dz = zh[..., 1:] - zh[..., :-1]
+
+    w_new, dz_new, pe_pert = sim1_solver(
+        w, dm, gm, dz, pt, p_gas, p_if, ws, dt, p_fac
+    )
+
+    # finalize
+    pk3_out = log_p_if if use_logp else pk3_new
+    ppe = pe_pert + p_if if beta < -0.1 else pe_pert
+    if last_call:
+        peln_out = log_p_if
+        pk_out = pk3_out
+        pe_out = p_if
+    else:
+        peln_out = peln
+        pk_out = pk
+        pe_out = pe_init
+    below = jnp.cumsum(dz_new[..., ::-1], -1)[..., ::-1]
+    zh_new = jnp.concatenate(
+        [zs[..., None] - below, zs[..., None]], -1
+    )
+    return dz_new, zh_new, pe_out, ppe, pk3_out, pk_out, peln_out, w_new

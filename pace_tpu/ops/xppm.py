@@ -119,7 +119,7 @@ def _xt_dxa_edge_1(q, dxa, xt_minmax=True):
     return xt
 
 
-def _compute_blbr_ord8plus(q, dxa, n, h):
+def _compute_blbr_ord8plus(q, dxa, n, h, constraint_cols=None):
     dm = _dm_iord8plus(q)
     al = 0.5 * (shift(q, -1) + q) + (1.0 / 3.0) * (shift(dm, -1) - dm)
     xt2 = 2.0 * dm
@@ -165,8 +165,13 @@ def _compute_blbr_ord8plus(q, dxa, n, h):
     edge_cols = (h - 1, h, h + 1, h + n - 2, h + n - 1, h + n)
     bl_e = xt_bl - q
     br_e = xt_br - q
-    bl_c, br_c = pert_ppm_standard_constraint(q, bl_e, br_e)
     for i in edge_cols:
+        bl = bl.at[:, i].set(bl_e[:, i])
+        br = br.at[:, i].set(br_e[:, i])
+    if constraint_cols is None:
+        constraint_cols = edge_cols
+    bl_c, br_c = pert_ppm_standard_constraint(q, bl, br)
+    for i in constraint_cols:
         bl = bl.at[:, i].set(bl_c[:, i])
         br = br.at[:, i].set(br_c[:, i])
     return bl, br
