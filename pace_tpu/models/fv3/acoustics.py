@@ -59,7 +59,7 @@ def _p_grad_c(uc, vc, delpc, pkc, gz, gd, dt2, hydrostatic=False):
 
 def acoustic_dynamics(
     s: dict, cappa, gd, col, config, topo, n: int, h: int,
-    timestep: float, n_map: int, wsd,
+    timestep: float, n_map: int, wsd, vp: dict,
 ):
     """Run n_split acoustic substeps. `s` is a dict holding the DycoreState
     fields; returns (updated dict, cappa, wsd, heat_source diagnostics)."""
@@ -77,12 +77,9 @@ def acoustic_dynamics(
 
     zs = s["phis"] * constants.RGRAV
 
-    # reference column pressures
-    ak = np.asarray(gd.vertical.ak)
-    bk = np.asarray(gd.vertical.bk)
-    ph = ak + bk * 1.0e5
-    dp_ref_col = ph[1:] - ph[:-1]
-    pfull_col = (ph[1:] - ph[:-1]) / np.log(ph[1:] / ph[:-1])
+    # reference column pressures (static numpy, from vp)
+    dp_ref_col = vp["dp_ref"]
+    pfull_col = vp["pfull"]
 
     # start-of-call halo updates (dyn_core.py:686-689)
     s["q_con"], cappa = hupd(s["q_con"], cappa)
@@ -186,7 +183,7 @@ def acoustic_dynamics(
         if not config.hydrostatic:
             zh, wsd = updatedzd.update_dz_d(
                 zs, zh, crx, cry, xfx, yfx, gd, col, config, n, h,
-                dt_acoustic,
+                dt_acoustic, vp["dp_ref"],
             )
             (s["delz"], zh, s["pe"], pkc, pk3, s["pk"], s["peln"],
              s["w"]) = riemann.riem_solver3(

@@ -1,0 +1,154 @@
+"""The FV3 dynamical core: one full model timestep (fv_dynamics).
+
+jnp port of ai2cm/pace fv3core/pace/fv3core/stencils/fv_dynamics.py
+`DynamicalCore`: fv_setup -> pt to potential-density temperature ->
+k_split x { acoustic substeps -> tracer advection -> vertical remapping }
+-> negative-tracer adjustment -> D-grid to lat/lon winds.
+
+The whole step is a pure function of DycoreState, jittable as one XLA
+program (replacing the reference's DaCe whole-program orchestration).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pace_tpu.models.fv3 import acoustics
+from pace_tpu.models.fv3.config import DynamicalCoreConfig, get_column_namelist
+from pace_tpu.models.fv3.state import NQ, TRACER_NAMES, DycoreState
+from pace_tpu.ops import c2l_ord, moist_cv, neg_adj3, remapping
+from pace_tpu.ops import tracer_advection as tradv
+from pace_tpu.ops.del2cubed import hyperdiffusion
+from pace_tpu.ops import saturation_adjustment as satadj
+from pace_tpu.parallel import halo as halo_mod
+from pace_tpu.parallel.topology import get_topology
+from pace_tpu.utils import constants
+from pace_tpu.utils.gridtools import GridSizing
+
+
+class DynamicalCore:
+    """Configures and steps the FV3 dycore (API analogue of the reference
+    DynamicalCore; the compute path is the pure function `step`)."""
+
+    def __init__(self, config: DynamicalCoreConfig, sizing: GridSizing,
+                 grid_data, timestep: float):
+        self.config = config
+        self.sizing = sizing
+        self.grid_data = grid_data
+        self.timestep = timestep
+        if config.hydrostatic:
+            raise NotImplementedError("hydrostatic mode is not implemented")
+        if config.consv_te > 0:
+            raise NotImplementedError("consv_te > 0 needs a global reduction")
+        self.topo = get_topology(sizing.n, sizing.halo)
+        self.column_namelist = get_column_namelist(config, sizing.nz)
+        import numpy as np
+        ak = np.asarray(jax.device_get(grid_data.vertical.ak))
+        bk = np.asarray(jax.device_get(grid_data.vertical.bk))
+        ph = ak + bk * 1.0e5
+        self.vertical_params = dict(
+            ak=ak, bk=bk, dp_ref=ph[1:] - ph[:-1],
+            pfull=(ph[1:] - ph[:-1]) / np.log(ph[1:] / ph[:-1]),
+        )
+
+    def step_dynamics(self, state: DycoreState) -> DycoreState:
+        return fv_dynamics(
+            state, self.grid_data, self.column_namelist, self.config,
+            self.topo, self.sizing.n, self.sizing.halo, self.timestep,
+            self.vertical_params,
+        )
+
+    __call__ = step_dynamics
+
+
+def fv_dynamics(
+    state: DycoreState, gd, col, config: DynamicalCoreConfig, topo,
+    n: int, h: int, timestep: float, vp: dict,
+) -> DycoreState:
+    s = {f.name: getattr(state, f.name) for f in dataclasses.fields(state)}
+
+    # --- compute_preamble ---------------------------------------------------
+    q_con, cvm, pkz, cappa, dp1 = moist_cv.fv_setup(
+        s["qvapor"], s["qliquid"], s["qrain"], s["qsnow"], s["qice"],
+        s["qgraupel"], s["pt"], s["delp"], s["delz"],
+        moist_phys=config.moist_phys,
+    )
+    s["q_con"] = q_con
+    s["pkz"] = pkz
+    s["pt"] = s["pt"] * (1.0 + dp1) * (1.0 - q_con) / pkz
+
+    wsd = jnp.zeros_like(s["ps"])
+    k_split = config.k_split
+    for k_loop in range(k_split):
+        n_map = k_loop + 1
+        last_step = k_loop == k_split - 1
+        dp_initial = s["delp"]
+
+        s, cappa, wsd, _pem = acoustics.acoustic_dynamics(
+            s, cappa, gd, col, config, topo, n, h,
+            timestep / k_split, n_map, wsd, vp,
+        )
+
+        if config.z_tracer:
+            advected = {name: s[name] for name in TRACER_NAMES[:NQ]}
+            advected = tradv.tracer_advection(
+                advected, dp_initial, s["mfxd"], s["mfyd"], s["cxd"],
+                s["cyd"], gd, topo, n, h, config.hord_tr,
+            )
+            s.update(advected)
+        else:
+            raise NotImplementedError("z_tracer=False")
+
+        # vertical remapping
+        tracers = {name: s[name] for name in remapping.REMAP_TRACERS}
+        sat_fn = None
+        if config.do_sat_adj:
+            def sat_fn(dp1_b, trc, hs, peln, delp, delz, q_con_, pt, pkz_,
+                       cappa_, zvir, mdt, last_step_, akap):
+                return satadj.saturation_adjustment(
+                    dp1_b, trc, hs, peln, delp, delz, q_con_, pt, pkz_,
+                    cappa_, zvir, mdt, last_step_, akap, gd, config, n, h,
+                )
+        out = remapping.lagrangian_to_eulerian(
+            tracers, s["pt"], s["delp"], s["delz"], s["peln"], s["u"],
+            s["v"], s["w"], cappa, s["q_con"], s["pkz"], s["pk"], s["pe"],
+            s["phis"], s["ps"], wsd, gd, config, n, h, last_step,
+            config.consv_te, timestep / k_split, do_sat_adj_fn=sat_fn,
+        )
+        s.update(out["tracers"])
+        for name in ("pt", "delp", "delz", "peln", "u", "v", "w", "q_con",
+                     "pkz", "pk", "pe", "ps"):
+            s[name] = out[name]
+        cappa = out["cappa"]
+
+        if last_step:
+            # omega from w, then hyperdiffuse it
+            s["omga"] = s["delp"] / s["delz"] * s["w"]
+            if config.nf_omega > 0:
+                s["omga"] = halo_mod.halo_update_scalar(
+                    s["omga"], topo.scalar_spec("center")
+                )
+                s["omga"] = hyperdiffusion(
+                    s["omga"], gd, 0.18 * gd.damping.da_min, n, h,
+                    nmax=config.nf_omega,
+                )
+
+    # --- negative tracer adjustment -----------------------------------------
+    tracers = {name: s[name] for name in remapping.REMAP_TRACERS}
+    tracers, s["pt"] = neg_adj3.adjust_negative_tracers(
+        tracers, s["pt"], s["delp"]
+    )
+    s.update(tracers)
+
+    # --- D-grid -> lat/lon A-grid winds ---------------------------------------
+    ua, va, u, v = c2l_ord.cubed_to_latlon(
+        s["u"], s["v"], gd, topo, n, h, order=config.c2l_ord
+    )
+    s["ua"], s["va"] = ua, va
+    s["u"], s["v"] = u, v
+
+    return DycoreState(**s)

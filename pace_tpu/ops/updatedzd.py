@@ -81,13 +81,11 @@ def interpolate_to_layer_interfaces(q, gk, beta, gamma):
 
 def update_dz_d(
     surface_height, height, crx, cry, x_area_flux, y_area_flux,
-    gd, col, config, n, h, dt,
+    gd, col, config, n, h, dt, dp0,
 ):
-    """Returns (height, ws)."""
-    dp0 = np.asarray(gd.vertical.ak[1:] - gd.vertical.ak[:-1]) + np.asarray(
-        gd.vertical.bk[1:] - gd.vertical.bk[:-1]
-    ) * 1.0e5
-    gk, beta, gamma = cubic_spline_interpolation_constants(dp0)
+    """Returns (height, ws). dp0: (nz,) static numpy reference
+    pressure-thickness column."""
+    gk, beta, gamma = cubic_spline_interpolation_constants(np.asarray(dp0))
 
     crx_i = interpolate_to_layer_interfaces(crx, gk, beta, gamma)
     xaf_i = interpolate_to_layer_interfaces(x_area_flux, gk, beta, gamma)

@@ -1,0 +1,72 @@
+"""End-to-end dycore step test: baroclinic C12, one full fv_dynamics step.
+
+Physical validity checks in the spirit of the reference's SafetyChecker
+bounds (ai2cm/pace driver/pace/driver/safety_checks.py, registration
+driver.py:536-539) plus a zonality check unique to the J&W initial
+condition: the initial wind is purely zonal, so after one step va must
+remain small everywhere — any error in halo rotation, staggering
+transforms, or edge handling destroys this property.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pace_tpu.grid.generation import generate_grid_data
+from pace_tpu.models.fv3.config import DynamicalCoreConfig
+from pace_tpu.models.fv3.dynamics import DynamicalCore
+from pace_tpu.models.fv3.init.baroclinic import init_baroclinic_state
+from pace_tpu.utils.gridtools import GridSizing
+
+N, NZ, H = 12, 79, 3
+
+
+@pytest.fixture(scope="module")
+def stepped_state():
+    sz = GridSizing(N, NZ)
+    gd = generate_grid_data(N, NZ, dtype=jnp.float64)
+    state = init_baroclinic_state(sz, dtype=jnp.float64)
+    config = DynamicalCoreConfig(do_sat_adj=False)
+    core = DynamicalCore(config, sz, gd, timestep=225.0)
+    return core.step_dynamics(state)
+
+
+def compute(q):
+    return np.asarray(q)[:, H:H + N, H:H + N]
+
+
+class TestDycoreStep:
+    def test_no_nans(self, stepped_state):
+        for name in ("delp", "pt", "u", "v", "w", "delz", "ua", "va",
+                     "qvapor", "ps", "omga", "pe", "peln", "pk", "pkz"):
+            arr = compute(getattr(stepped_state, name))
+            assert not np.isnan(arr).any(), name
+
+    def test_safety_bounds(self, stepped_state):
+        assert np.abs(compute(stepped_state.ua)).max() < 200
+        assert np.abs(compute(stepped_state.va)).max() < 200
+        pt = compute(stepped_state.pt)
+        assert pt.min() > 100 and pt.max() < 380
+        assert compute(stepped_state.delp).min() > 0
+        assert compute(stepped_state.delz).max() < 0
+
+    def test_zonality_preserved(self, stepped_state):
+        """J&W initial state is zonal; one step must keep va near zero."""
+        va = compute(stepped_state.va)
+        ua = compute(stepped_state.ua)
+        assert np.abs(va).max() < 1.0
+        assert ua.min() > -1.0 and ua.max() < 40.0
+
+    def test_surface_pressure_near_reference(self, stepped_state):
+        ps = compute(stepped_state.ps)
+        np.testing.assert_allclose(ps, 1.0e5, rtol=2e-3)
+
+    def test_global_mass_conserved(self, stepped_state):
+        """Total delp-weighted mass must be conserved to roundoff."""
+        sz = GridSizing(N, NZ)
+        gd = generate_grid_data(N, NZ, dtype=jnp.float64)
+        state0 = init_baroclinic_state(sz, dtype=jnp.float64)
+        area = np.asarray(gd.horizontal.area)[:, H:H + N, H:H + N, None]
+        m0 = (np.asarray(state0.delp)[:, H:H + N, H:H + N] * area).sum()
+        m1 = (compute(stepped_state.delp) * area).sum()
+        np.testing.assert_allclose(m1, m0, rtol=1e-10)
