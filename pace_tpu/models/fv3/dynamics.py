@@ -112,6 +112,7 @@ def fv_dynamics(
                 return satadj.saturation_adjustment(
                     dp1_b, trc, hs, peln, delp, delz, q_con_, pt, pkz_,
                     cappa_, zvir, mdt, last_step_, akap, gd, config, n, h,
+                    vp=vp,
                 )
         out = remapping.lagrangian_to_eulerian(
             tracers, s["pt"], s["delp"], s["delz"], s["peln"], s["u"],
