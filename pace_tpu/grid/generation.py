@@ -244,6 +244,13 @@ def generate_grid_data(
     vertical = eta.set_hybrid_pressure_coefficients(nz)
 
     def conv(x):
+        # Padded/undefined cells of some metric terms (agrid-derived fields,
+        # outermost divg/del6 lines) hold NaN from the numpy generation; they
+        # are never consumed by the dycore (f64 runs are bit-clean), but any
+        # reachable NaN poisons 0*NaN products and float32 casts.  Replace
+        # with a benign finite value and clamp to the float32 range.
+        x = np.nan_to_num(x, nan=1.0, posinf=1.0e30, neginf=-1.0e30)
+        x = np.clip(x, -1.0e30, 1.0e30)
         return jnp.asarray(x, dtype)
 
     horizontal = HorizontalGridData(

@@ -6,6 +6,7 @@ jnp port of ai2cm/pace fv3core/pace/fv3core/stencils/remapping.py
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,17 +68,18 @@ def lagrangian_to_eulerian(
     # remap pt in log-pressure coordinates
     pt = map_single(pt, peln, pn2, n, h, kord_tm, 1, qmin=T_MIN)
 
-    # remap tracers with negative-value filling
+    # remap tracers with negative-value filling; one batched graph via vmap
+    # (all tracer kords are equal for supported configs: reference
+    # mapn_tracer.py sets kord_tracer[5]=9 and kord_tr=9 in practice)
+    stacked = jnp.stack([tracers[name] for name in REMAP_TRACERS])
+    stacked = jax.vmap(
+        lambda q: map_single(q, pe1, pe2, n, h, kord_tr, 0)
+    )(stacked)
+    if config.fill:
+        stacked = jax.vmap(lambda q: fillz_mod.fix_tracer(q, dp2))(stacked)
     new_tracers = dict(tracers)
     for i, name in enumerate(REMAP_TRACERS):
-        kord_q = 9 if i == 5 else kord_tr
-        new_tracers[name] = map_single(
-            tracers[name], pe1, pe2, n, h, kord_q, 0
-        )
-    if config.fill:
-        new_tracers = fillz_mod.fill_negative_tracers(
-            dp2, new_tracers, REMAP_TRACERS
-        )
+        new_tracers[name] = stacked[i]
     tracers = new_tracers
 
     w = map_single(w, pe1, pe2, n, h, config.kord_wz, -2, qs=wsd)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from pace_tpu.ops.fvtp2d import fv_tp_2d
@@ -66,16 +67,21 @@ def tracer_advection(
             x_mass_flux - shift(x_mass_flux, 1)
             + y_mass_flux - shift(y_mass_flux, 0, 1)
         ) * rarea
-        new_tracers = {}
-        for name, q in tracers.items():
+        # one batched transport over all tracers (vmap: single graph)
+        names = list(tracers.keys())
+        stacked = jnp.stack([tracers[name] for name in names])
+
+        def transport_one(q):
             fx, fy = fv_tp_2d(
                 q, x_courant, y_courant, xfx, yfx, gd, n, h, hord_tr,
                 x_mass_flux=x_mass_flux, y_mass_flux=y_mass_flux,
             )
-            new_tracers[name] = (
+            return (
                 q * dp1 + (fx - shift(fx, 1) + fy - shift(fy, 0, 1)) * rarea
             ) / dp2
-        tracers = new_tracers
+
+        stacked = jax.vmap(transport_one)(stacked)
+        tracers = {name: stacked[i] for i, name in enumerate(names)}
         if not last_call:
             tracers = {
                 name: halo_mod.halo_update_scalar(q, center)
