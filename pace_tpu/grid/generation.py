@@ -607,11 +607,10 @@ def _generate_metric_terms(n: int, halo: int):
     del6_v, del6_u = np.abs(del6_v), np.abs(del6_u)
 
     # ---- 12. lat-lon transform matrices ------------------------------------
-    vlon = np.zeros((6, N, N, 3))
-    vlat = np.zeros((6, N, N, 3))
-    vlon[:, cm, cm], vlat[:, cm, cm] = geometry.lonlat_unit_vectors(
-        lon_agrid[:, cm, cm], lat_agrid[:, cm, cm]
-    )
+    # full-array (defined wherever agrid is; the A->D physics wind update
+    # reads them one ring into the halo, reference update_dwind_phys.py:20-45)
+    with np.errstate(invalid="ignore"):
+        vlon, vlat = geometry.lonlat_unit_vectors(lon_agrid, lat_agrid)
     z11 = (ec1 * vlon).sum(-1)
     z12 = (ec1 * vlat).sum(-1)
     z21 = (ec2 * vlon).sum(-1)

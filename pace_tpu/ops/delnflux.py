@@ -27,17 +27,30 @@ def deln_flux_nosg(q, del6_u, del6_v, rarea, nord_col, damp_col, n, h,
     """Compute (but do not apply) del-n damping fluxes fx2, fy2 of q.
 
     nord_col: (nz,) numpy int array (static); damp_col: (nz,) damp factors.
-    Returns (fx2, fy2, d2)."""
+    Returns (fx2, fy2, d2).
+
+    float32-range note: damp_col = (damp_c*da_min)**(nord+1) reaches ~1e42
+    at coarse resolution while the raw del-n iterate shrinks like
+    rarea**nord ~ 1e-36 — both outside float32.  We therefore fold the
+    per-level root factor s = damp_col**(1/(nord+1)) (~1e10, f32-safe) into
+    the initialization and each sweep, so every intermediate stays in range
+    while the accumulated product is mathematically identical."""
     nord_np = np.asarray(nord_col)
     nmax = int(nord_np.max())
+    nz_hi = nord_np[nord_np > 0]
+    assert nz_hi.size == 0 or (nz_hi == nmax).all(), (
+        "per-level nord must share one nonzero value"
+    )
     mask_hi = jnp.asarray((nord_np > 0)).reshape((1, 1, 1, -1))
-    damp = jnp.asarray(damp_col).reshape((1, 1, 1, -1)).astype(q.dtype)
+    damp_np = np.asarray(damp_col, np.float64)
+    s_np = damp_np ** (1.0 / (nord_np + 1.0))
+    s_col = jnp.asarray(s_np).reshape((1, 1, 1, -1)).astype(q.dtype)
     del6_u4 = del6_u[..., None]
     del6_v4 = del6_v[..., None]
     rarea4 = rarea[..., None]
 
     if mass is None:
-        d2 = damp * q
+        d2 = s_col * q
     else:
         d2 = q
 
@@ -56,7 +69,7 @@ def deln_flux_nosg(q, del6_u, del6_v, rarea, nord_col, damp_col, n, h,
 
     for _ in range(nmax):
         d2_new = (fx2 - shift(fx2, 1) + fy2 - shift(fy2, 0, 1)) * rarea4
-        d2 = jnp.where(mask_hi, d2_new, d2)
+        d2 = jnp.where(mask_hi, d2_new * s_col, d2)
         d2 = ccx(d2)
         fx2 = jnp.where(mask_hi, -del6_v4 * (shift(d2, -1) - d2), fx2)
         d2 = ccy(d2)
@@ -81,7 +94,11 @@ def deln_flux(
     )
     if mass is None:
         return fx + fx2, fy + fy2
-    damp4 = jnp.asarray(damp_col).reshape((1, 1, 1, -1)).astype(q.dtype)
-    fx = fx + 0.5 * damp4 * (shift(mass, -1) + mass) * fx2
-    fy = fy + 0.5 * damp4 * (shift(mass, 0, -1) + mass) * fy2
+    # the sweeps applied s**nord inside deln_flux_nosg; one more root factor
+    # completes damp = s**(nord+1) (see the f32-range note there)
+    nord_np = np.asarray(nord_col)
+    s_np = np.asarray(damp_col, np.float64) ** (1.0 / (nord_np + 1.0))
+    s_col = jnp.asarray(s_np).reshape((1, 1, 1, -1)).astype(q.dtype)
+    fx = fx + 0.5 * s_col * (shift(mass, -1) + mass) * fx2
+    fy = fy + 0.5 * s_col * (shift(mass, 0, -1) + mass) * fy2
     return fx, fy

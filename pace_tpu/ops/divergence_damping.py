@@ -97,6 +97,16 @@ def divergence_damping(
 
     divg_u = dc.divg_u[..., None]
     divg_v = dc.divg_v[..., None]
+    # float32 range: the damping coefficient dd8 = (da_min_c*d4_bg)**(nord+1)
+    # reaches ~1e44 at coarse resolution while the raw hyperdiffusion iterate
+    # shrinks like rarea_c**nord ~ 1e-36 — both outside float32.  Fold one
+    # factor s = da_min_c*d4_bg (~1e10, f32-safe) into each sweep so every
+    # intermediate stays in range; the final product is identical.  The
+    # returned divg_d carries the same scaling, which is safe: it is
+    # recomputed from scratch by c_sw before its next use.
+    # stretched: dd8 = da_min * d4_bg**(nord+1); else (da_min_c*d4_bg)**(nord+1)
+    s_damp = d4_bg if stretched_grid else da_min_c * d4_bg
+    s_final = da_min * d4_bg if stretched_grid else da_min_c * d4_bg
     for it in range(nonzero_nord):
         fillc = (it + 1) != nonzero_nord
         if fillc:
@@ -122,7 +132,7 @@ def divergence_damping(
             new_divg = new_divg.at[:, ci, cj].set(plus[:, ci, cj])
         if not stretched_grid:
             new_divg = new_divg * rarea_c
-        divg_d = jnp.where(high_mask, new_divg, divg_d)
+        divg_d = jnp.where(high_mask, new_divg * s_damp, divg_d)
 
     if dddmp < 1e-5:
         vort = jnp.where(high_mask, 0.0, vort)
@@ -132,12 +142,10 @@ def divergence_damping(
         smag = jnp.abs(dt) * jnp.sqrt(delpc ** 2 + vort_b ** 2)
         vort = jnp.where(high_mask, smag, vort)
 
-    if stretched_grid:
-        dd8 = da_min * d4_bg ** (nonzero_nord + 1)
-    else:
-        dd8 = (da_min_c * d4_bg) ** (nonzero_nord + 1)
+    # the nord sweeps already applied s_damp**nord; one more factor completes
+    # dd8
     damp = _damp_tmp(vort, da_min_c, d2_bg, dddmp)
-    vort_high = damp * delpc + dd8 * divg_d
+    vort_high = damp * delpc + s_final * divg_d
     vort = jnp.where(high_mask, vort_high, vort)
     ke = jnp.where(high_mask, ke + vort_high, ke)
 
