@@ -1,0 +1,137 @@
+"""Diagnostics output.
+
+Port of ai2cm/pace driver/pace/driver/diagnostics.py (DiagnosticsConfig,
+Diagnostics, ZSelect): saves selected state variables at a configurable
+frequency.  Output format is npz (one file per output time) — the image
+has no zarr/netCDF4/xarray, and npz round-trips losslessly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class ZSelect:
+    level: int
+    names: List[str]
+
+
+@dataclasses.dataclass
+class DiagnosticsConfig:
+    """
+    Attributes:
+        path: directory to save diagnostics into; no diagnostics are stored
+            if unset
+        output_format: only "npz" is supported
+        names: state variables to save
+        derived_names: derived diagnostics to save (supported: none yet)
+        z_select: save a vertical slice of a 3D state
+        output_initial_state: save the state before the first step
+        output_frequency: timesteps between outputs
+    """
+
+    path: Optional[str] = None
+    output_format: str = "npz"
+    names: List[str] = dataclasses.field(default_factory=list)
+    derived_names: List[str] = dataclasses.field(default_factory=list)
+    z_select: List[ZSelect] = dataclasses.field(default_factory=list)
+    output_initial_state: bool = False
+    output_frequency: int = 1
+
+    def __post_init__(self):
+        if (self.names or self.derived_names) and self.path is None:
+            raise ValueError(
+                "DiagnosticsConfig.path must be given to enable diagnostics"
+            )
+        if self.output_format != "npz":
+            raise ValueError(
+                f"output_format must be 'npz', got {self.output_format}"
+            )
+
+    def diagnostics_factory(self, sizing=None) -> "Diagnostics":
+        if self.path is None:
+            return NullDiagnostics()
+        return NpzDiagnostics(self, sizing)
+
+
+class Diagnostics:
+    def store(self, time, state):
+        raise NotImplementedError
+
+    def store_grid(self, grid_data):
+        raise NotImplementedError
+
+    def cleanup(self):
+        pass
+
+
+class NullDiagnostics(Diagnostics):
+    def store(self, time, state):
+        pass
+
+    def store_grid(self, grid_data):
+        pass
+
+
+class NpzDiagnostics(Diagnostics):
+    def __init__(self, config: DiagnosticsConfig, sizing=None):
+        self.config = config
+        self.sizing = sizing
+        os.makedirs(config.path, exist_ok=True)
+        self._index = 0
+
+    def _compute_domain(self, arr, name=None):
+        """Slice off the halo+padding: users get exactly the compute
+        domain — n cells, or n+1 points on a staggered (interface) axis,
+        determined from the state's dims metadata."""
+        if self.sizing is None or arr.ndim < 3:
+            return arr
+        h, n = self.sizing.halo, self.sizing.n
+        ni = nj = n
+        try:
+            from pace_tpu.models.fv3.state import FIELD_METADATA
+
+            dims = FIELD_METADATA[name][1]
+            if "x_interface" in dims[0]:
+                ni = n + 1
+            if "y_interface" in dims[1]:
+                nj = n + 1
+        except (KeyError, ImportError, TypeError):
+            pass
+        return arr[:, h:h + ni, h:h + nj]
+
+    def store(self, time, state):
+        out = {}
+        for name in self.config.names:
+            arr = np.asarray(jax.device_get(getattr(state, name)))
+            out[name] = self._compute_domain(arr, name)
+        for zs in self.config.z_select:
+            for name in zs.names:
+                arr = np.asarray(jax.device_get(getattr(state, name)))
+                out[f"{name}_z{zs.level}"] = self._compute_domain(
+                    arr[..., zs.level], name
+                )
+        if time is not None:
+            out["time"] = np.asarray(str(time))
+        fname = os.path.join(
+            self.config.path, f"state_{self._index:06d}.npz"
+        )
+        np.savez(fname, **out)
+        self._index += 1
+
+    def store_grid(self, grid_data):
+        hz = grid_data.horizontal
+        np.savez(
+            os.path.join(self.config.path, "grid.npz"),
+            lon=np.asarray(jax.device_get(hz.lon)),
+            lat=np.asarray(jax.device_get(hz.lat)),
+            lon_agrid=np.asarray(jax.device_get(hz.lon_agrid)),
+            lat_agrid=np.asarray(jax.device_get(hz.lat_agrid)),
+            area=np.asarray(jax.device_get(hz.area)),
+        )

@@ -1,0 +1,51 @@
+"""Restart save/load.
+
+Port of the reference's RestartConfig / Restart (driver/pace/driver/
+driver.py:198-240 and util restart IO), using npz for the state payload.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class RestartConfig:
+    save_restart: bool = False
+    intermediate_restart: list = dataclasses.field(default_factory=list)
+    path: str = "RESTART"
+
+    def write_final_if_enabled(self, state, time, path: Optional[str] = None):
+        if self.save_restart:
+            write_restart(state.dycore_state, time, path or self.path)
+
+    def write_intermediate_if_enabled(self, state, step: int, time):
+        if step in self.intermediate_restart:
+            write_restart(
+                state.dycore_state, time,
+                os.path.join(self.path, f"step_{step:06d}"),
+            )
+
+
+def write_restart(dycore_state, time, path: str):
+    import dataclasses as dc
+
+    os.makedirs(path, exist_ok=True)
+    arrays = {
+        f.name: np.asarray(jax.device_get(getattr(dycore_state, f.name)))
+        for f in dc.fields(dycore_state)
+    }
+    np.savez(os.path.join(path, "dycore_state.npz"), **arrays)
+    with open(os.path.join(path, "time.json"), "w") as f:
+        json.dump({"time": str(time) if time else None}, f)
+
+
+def load_restart_arrays(path: str) -> dict:
+    data = np.load(os.path.join(path, "dycore_state.npz"))
+    return {k: data[k] for k in data.files}
