@@ -176,15 +176,37 @@ class Driver:
                 _register_default_checks()
 
     def _build_step(self):
+        import dataclasses as dc
+
         dycore = self.dycore
         physics = self.physics
+        cfg = self.config.dycore_config
+        do_sg = cfg.fv_sg_adj > 0 and physics is not None
 
         def step(state):
             state = dycore.step_dynamics(state)
             if physics is not None:
+                u_dt0 = v_dt0 = None
+                if do_sg:
+                    from pace_tpu.ops.fv_subgridz import (
+                        dry_convective_adjustment,
+                    )
+
+                    s = {f.name: getattr(state, f.name)
+                         for f in dc.fields(state)}
+                    ptop = float(np.asarray(jax.device_get(
+                        self.state.grid_data.vertical.ptop
+                    )))
+                    s, u_dt0, v_dt0 = dry_convective_adjustment(
+                        s, self.config.dt_atmos, cfg.fv_sg_adj,
+                        cfg.n_sponge, nwat=cfg.nwat, ptop=ptop,
+                    )
+                    state = type(state)(**s)
                 phy = self.dycore_to_physics(state)
                 phy = physics(phy)
-                state = self.end_of_step_update(state, phy)
+                state = self.end_of_step_update(
+                    state, phy, u_dt0=u_dt0, v_dt0=v_dt0
+                )
             return state
 
         if self.mesh is not None:

@@ -73,6 +73,23 @@ class BaroclinicInit(Initializer):
         return init_baroclinic_state(sizing, dtype=dtype)
 
 
+@InitializerSelector.register("tropicalcyclone")
+@dataclasses.dataclass
+class TropicalCycloneConfig(Initializer):
+    """Reed-Jablonowski tropical cyclone test case (FV3 test_case 55)."""
+
+    start_time_str: str = "2000-01-01 00:00:00"
+
+    @property
+    def start_time(self) -> datetime:
+        return datetime.fromisoformat(self.start_time_str)
+
+    def get_dycore_state(self, sizing, dtype):
+        from pace_tpu.models.fv3.init.tropical_cyclone import init_tc_state
+
+        return init_tc_state(sizing, dtype=dtype)
+
+
 @InitializerSelector.register("restart")
 @dataclasses.dataclass
 class RestartInit(Initializer):

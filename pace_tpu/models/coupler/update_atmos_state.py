@@ -105,8 +105,10 @@ def prepare_tendencies_and_update_tracers(
 
 class DycoreToPhysics:
     """Copies dycore prognostics into a PhysicsState (reference
-    DycoreToPhysics, update_atmos_state.py:151-233).  fv_subgridz (dry
-    convective adjustment) is gated off by fv_sg_adj < 0, the default."""
+    DycoreToPhysics, update_atmos_state.py:151-233).  When
+    do_dry_convective_adjust is set, runs fv_subgridz first via
+    `dry_convective_adjust` (call it before this; the reference gates it
+    on fv_sg_adj > 0)."""
 
     def __init__(self, sizing, dtype=jnp.float32, dycore_only=False):
         self.sizing = sizing
@@ -158,8 +160,10 @@ class UpdateAtmosphereState:
         self._rdt = 1.0 / timestep
         self._mask = interior_mask(sizing.N, sizing.n, sizing.halo)
 
-    def __call__(self, dycore_state, phy_state: PhysicsState):
-        """Returns the updated DycoreState."""
+    def __call__(self, dycore_state, phy_state: PhysicsState,
+                 u_dt0=None, v_dt0=None, pt_dt0=None):
+        """Returns the updated DycoreState.  u_dt0/v_dt0/pt_dt0 seed the
+        tendency accumulators (e.g. from fv_subgridz)."""
         import dataclasses
 
         s = {
@@ -181,9 +185,9 @@ class UpdateAtmosphereState:
         phy_state = dataclasses.replace(
             phy_state, physics_updated_specific_humidity=qv_up
         )
-        u_dt = jnp.zeros_like(s["pt"])
-        v_dt = jnp.zeros_like(s["pt"])
-        pt_dt = jnp.zeros_like(s["pt"])
+        u_dt = u_dt0 if u_dt0 is not None else jnp.zeros_like(s["pt"])
+        v_dt = v_dt0 if v_dt0 is not None else jnp.zeros_like(s["pt"])
+        pt_dt = pt_dt0 if pt_dt0 is not None else jnp.zeros_like(s["pt"])
         u_dt, v_dt, pt_dt, new_tracers, new_delp = (
             prepare_tendencies_and_update_tracers(
                 u_dt, v_dt, pt_dt, phy_state, s, self._rdt

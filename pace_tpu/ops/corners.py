@@ -33,12 +33,12 @@ def _corner_anchors(n: int, h: int):
 
 
 def _as_index_arrays(pairs):
+    # NOTE: keep these as NUMPY arrays — the tables are lru_cached, and a
+    # jnp array created during a trace would leak that trace's tracer into
+    # later jit calls (UnexpectedTracerError).
     tgt = np.array([p[0] for p in pairs], dtype=np.int32)
     src = np.array([p[1] for p in pairs], dtype=np.int32)
-    return (
-        jnp.asarray(tgt[:, 0]), jnp.asarray(tgt[:, 1]),
-        jnp.asarray(src[:, 0]), jnp.asarray(src[:, 1]),
-    )
+    return tgt[:, 0], tgt[:, 1], src[:, 0], src[:, 1]
 
 
 @functools.lru_cache(maxsize=None)
@@ -175,12 +175,13 @@ def _fill_corners_vector_tables(n: int, h: int, grid: str):
         by_target[tgt_arr].append((tgt, src, src_arr, use_sign))
     tables = {}
     for tgt_arr, rows in by_target.items():
-        ti = jnp.asarray(np.array([r[0][0] for r in rows], np.int32))
-        tj = jnp.asarray(np.array([r[0][1] for r in rows], np.int32))
-        si = jnp.asarray(np.array([r[1][0] for r in rows], np.int32))
-        sj = jnp.asarray(np.array([r[1][1] for r in rows], np.int32))
-        sa = jnp.asarray(np.array([r[2] for r in rows], np.int32))
-        sg = jnp.asarray(np.array([r[3] for r in rows], np.int32))
+        # numpy (not jnp): cached tables must not capture trace constants
+        ti = np.array([r[0][0] for r in rows], np.int32)
+        tj = np.array([r[0][1] for r in rows], np.int32)
+        si = np.array([r[1][0] for r in rows], np.int32)
+        sj = np.array([r[1][1] for r in rows], np.int32)
+        sa = np.array([r[2] for r in rows], np.int32)
+        sg = np.array([r[3] for r in rows], np.int32)
         tables[tgt_arr] = (ti, tj, si, sj, sa, sg)
     return tables
 
@@ -229,11 +230,12 @@ def _fill_corners_cells_table(n: int, h: int, direction: str, ncells: int):
             rows.append((((iec + 1, jsc - d), (iec - d + 1, jsc - 1), 1)))
             rows.append((((isc - 1, jec + d), (isc + d - 1, jec + 1), 2)))
             rows.append((((iec + 1, jec + d), (iec - d + 1, jec + 1), 3)))
-    ti = jnp.asarray(np.array([r[0][0] for r in rows], np.int32))
-    tj = jnp.asarray(np.array([r[0][1] for r in rows], np.int32))
-    si = jnp.asarray(np.array([r[1][0] for r in rows], np.int32))
-    sj = jnp.asarray(np.array([r[1][1] for r in rows], np.int32))
-    cid = jnp.asarray(np.array([r[2] for r in rows], np.int32))
+    # numpy (not jnp): cached tables must not capture trace constants
+    ti = np.array([r[0][0] for r in rows], np.int32)
+    tj = np.array([r[0][1] for r in rows], np.int32)
+    si = np.array([r[1][0] for r in rows], np.int32)
+    sj = np.array([r[1][1] for r in rows], np.int32)
+    cid = np.array([r[2] for r in rows], np.int32)
     return ti, tj, si, sj, cid
 
 
