@@ -322,10 +322,10 @@ class CubedSphereTopology:
             valid.append(ok)
         return HaloSpec(
             kind=f"scalar:{stagger}",
-            src_tile=jnp.asarray(np.stack(specs_t), jnp.int32),
-            src_i=jnp.asarray(np.stack(specs_i), jnp.int32),
-            src_j=jnp.asarray(np.stack(specs_j), jnp.int32),
-            valid=jnp.asarray(np.stack(valid)),
+            src_tile=np.stack(specs_t).astype(np.int32),
+            src_i=np.stack(specs_i).astype(np.int32),
+            src_j=np.stack(specs_j).astype(np.int32),
+            valid=np.stack(valid),
         )
 
     def _build_vector(self, u_stagger: str, v_stagger: str) -> HaloSpec:
@@ -390,12 +390,12 @@ class CubedSphereTopology:
             all_c.append(sc); all_s.append(sg); valid.append(ok)
         return HaloSpec(
             kind=f"vector{comp}:{u_stagger}:{v_stagger}",
-            src_tile=jnp.asarray(np.stack(all_t), jnp.int32),
-            src_i=jnp.asarray(np.stack(all_i), jnp.int32),
-            src_j=jnp.asarray(np.stack(all_j), jnp.int32),
-            src_comp=jnp.asarray(np.stack(all_c), jnp.int32),
-            sign=jnp.asarray(np.stack(all_s), jnp.float32),
-            valid=jnp.asarray(np.stack(valid)),
+            src_tile=np.stack(all_t).astype(np.int32),
+            src_i=np.stack(all_i).astype(np.int32),
+            src_j=np.stack(all_j).astype(np.int32),
+            src_comp=np.stack(all_c).astype(np.int32),
+            sign=np.stack(all_s).astype(np.float32),
+            valid=np.stack(valid),
         )
 
     # -- interface-edge ownership -------------------------------------------
@@ -463,11 +463,11 @@ class CubedSphereTopology:
             all_c.append(sc); all_s.append(sg)
         return HaloSpec(
             kind=f"ifsync{comp}:{u_stagger}:{v_stagger}",
-            src_tile=jnp.asarray(np.stack(all_t), jnp.int32),
-            src_i=jnp.asarray(np.stack(all_i), jnp.int32),
-            src_j=jnp.asarray(np.stack(all_j), jnp.int32),
-            src_comp=jnp.asarray(np.stack(all_c), jnp.int32),
-            sign=jnp.asarray(np.stack(all_s), jnp.float32),
+            src_tile=np.stack(all_t).astype(np.int32),
+            src_i=np.stack(all_i).astype(np.int32),
+            src_j=np.stack(all_j).astype(np.int32),
+            src_comp=np.stack(all_c).astype(np.int32),
+            sign=np.stack(all_s).astype(np.float32),
         )
 
 

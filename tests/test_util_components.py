@@ -1,0 +1,137 @@
+"""util components: namelist parser, checkpointers, nudging, monitors."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pace_tpu.utils.checkpointer import (
+    SnapshotCheckpointer,
+    ThresholdCalibrationCheckpointer,
+    ValidationCheckpointer,
+)
+from pace_tpu.utils.monitor import NpzMonitor, read_state, write_state
+from pace_tpu.utils.namelist import Namelist, parse_namelist
+from pace_tpu.utils.nudging import apply_nudging, get_nudging_tendencies
+
+NML_TEXT = """
+! FV3 input.nml excerpt
+&fv_core_nml
+  npx = 49
+  npy = 49
+  npz = 79
+  k_split = 2        ! remap loop
+  n_split = 6
+  do_sat_adj = .true.
+  rf_fast = .F.
+  tau = 10.d0
+  dddmp = 0.2
+  layout = 2, 2
+/
+&coupler_nml
+  dt_atmos = 450
+  days = 1
+/
+"""
+
+
+def test_parse_namelist():
+    groups = parse_namelist(NML_TEXT)
+    fv = groups["fv_core_nml"]
+    assert fv["npx"] == 49
+    assert fv["k_split"] == 2
+    assert fv["do_sat_adj"] is True
+    assert fv["rf_fast"] is False
+    assert fv["tau"] == 10.0
+    assert fv["layout"] == [2, 2]
+    assert groups["coupler_nml"]["dt_atmos"] == 450
+
+
+def test_namelist_from_f90nml():
+    nml = Namelist.from_f90nml(parse_namelist(NML_TEXT))
+    assert nml.npx == 49
+    assert nml.k_split == 2
+    assert nml.layout == (2, 2)
+    assert nml.dt_atmos == 450
+    assert nml.days == 1
+    kwargs = nml.dycore_config_kwargs()
+    from pace_tpu.models.fv3.config import DynamicalCoreConfig
+
+    cfg = DynamicalCoreConfig(**kwargs)
+    assert cfg.n_split == 6 and cfg.dddmp == 0.2
+
+
+def test_snapshot_checkpointer():
+    cp = SnapshotCheckpointer()
+    cp("sp1", a=np.ones(3))
+    cp("sp1", a=2 * np.ones(3))
+    assert len(cp.data["sp1"]["a"]) == 2
+    np.testing.assert_array_equal(cp.data["sp1"]["a"][1], 2.0)
+
+
+def test_threshold_calibration_and_validation():
+    cal = ThresholdCalibrationCheckpointer(factor=2.0)
+    rng = np.random.RandomState(0)
+    base = rng.randn(4)
+    for trial in range(3):
+        with cal.trial():
+            cal("sp", x=base + 1e-6 * rng.randn(4))
+    thr = cal.thresholds
+    assert thr.savepoints["sp"][0]["x"].absolute < 1e-4
+
+    # round-trip thresholds through json
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "thr.json")
+        thr.save(p)
+        thr2 = type(thr).load(p)
+    assert thr2.savepoints["sp"][0]["x"].absolute == \
+        thr.savepoints["sp"][0]["x"].absolute
+
+    val = ValidationCheckpointer(
+        reference={"sp": [{"x": base}]}, thresholds=thr
+    )
+    val("sp", x=base + 1e-8)  # within thresholds
+    val2 = ValidationCheckpointer(
+        reference={"sp": [{"x": base}]}, thresholds=thr
+    )
+    with pytest.raises(AssertionError, match="sp"):
+        val2("sp", x=base + 1.0)
+
+
+def test_nudging():
+    state = {"pt": np.full(4, 280.0)}
+    ref = {"pt": np.full(4, 290.0)}
+    from datetime import timedelta
+
+    tend = get_nudging_tendencies(
+        state, ref, {"pt": timedelta(seconds=100.0)}
+    )
+    np.testing.assert_allclose(tend["pt"], 0.1)
+    new_state, _ = apply_nudging(
+        state, ref, {"pt": timedelta(seconds=100.0)},
+        timedelta(seconds=10.0),
+    )
+    np.testing.assert_allclose(new_state["pt"], 281.0)
+    with pytest.raises(ValueError):
+        apply_nudging(state, ref, {"nope": timedelta(seconds=1)}, 1.0)
+
+
+def test_npz_monitor_roundtrip(tmp_path):
+    mon = NpzMonitor(str(tmp_path / "series"))
+    mon.store({"time": "t0", "a": np.arange(3)})
+    mon.store({"time": "t1", "a": np.arange(3) + 1})
+    times, states = NpzMonitor.read(str(tmp_path / "series"))
+    assert times == ["t0", "t1"]
+    np.testing.assert_array_equal(states[1]["a"], [1, 2, 3])
+
+
+def test_state_io_roundtrip(tmp_path):
+    p = str(tmp_path / "state.npz")
+    write_state({"time": "2000-01-01", "pt": np.ones((2, 2))}, p)
+    state = read_state(p)
+    assert state["time"] == "2000-01-01"
+    np.testing.assert_array_equal(state["pt"], 1.0)
+    with pytest.raises(ValueError):
+        write_state({"pt": np.ones(2)}, p)
