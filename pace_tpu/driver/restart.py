@@ -41,11 +41,31 @@ def write_restart(dycore_state, time, path: str):
         f.name: np.asarray(jax.device_get(getattr(dycore_state, f.name)))
         for f in dc.fields(dycore_state)
     }
-    np.savez(os.path.join(path, "dycore_state.npz"), **arrays)
+    try:
+        # native threaded writer (pace_tpu/_native/fastpack.cpp)
+        from pace_tpu._native import fastpack_available, write_state_npys
+
+        if fastpack_available():
+            write_state_npys(
+                os.path.join(path, "dycore_state"), arrays, n_threads=4
+            )
+        else:
+            raise ImportError
+    except Exception:
+        np.savez(os.path.join(path, "dycore_state.npz"), **arrays)
     with open(os.path.join(path, "time.json"), "w") as f:
         json.dump({"time": str(time) if time else None}, f)
 
 
 def load_restart_arrays(path: str) -> dict:
+    npy_dir = os.path.join(path, "dycore_state")
+    if os.path.isdir(npy_dir):
+        from pace_tpu._native import read_npy
+
+        return {
+            fname[:-4]: read_npy(os.path.join(npy_dir, fname))
+            for fname in sorted(os.listdir(npy_dir))
+            if fname.endswith(".npy")
+        }
     data = np.load(os.path.join(path, "dycore_state.npz"))
     return {k: data[k] for k in data.files}

@@ -135,3 +135,45 @@ def test_state_io_roundtrip(tmp_path):
     np.testing.assert_array_equal(state["pt"], 1.0)
     with pytest.raises(ValueError):
         write_state({"pt": np.ones(2)}, p)
+
+
+def test_fastpack_roundtrip(tmp_path):
+    from pace_tpu._native import (
+        fastpack_available,
+        read_npy,
+        write_npy,
+        write_state_npys,
+    )
+
+    rng = np.random.RandomState(1)
+    a = rng.randn(3, 5).astype(np.float32)
+    p = str(tmp_path / "a.npy")
+    write_npy(p, a)
+    np.testing.assert_array_equal(np.load(p), a)  # numpy-readable
+    np.testing.assert_array_equal(read_npy(p), a)
+    state = {"x": a, "y": rng.randn(4).astype(np.float64)}
+    write_state_npys(str(tmp_path / "s"), state)
+    for k, v in state.items():
+        np.testing.assert_array_equal(
+            np.load(str(tmp_path / "s" / f"{k}.npy")), v
+        )
+
+
+def test_restart_npy_roundtrip(tmp_path):
+    from pace_tpu.driver.restart import load_restart_arrays, write_restart
+
+    class FakeState:
+        import dataclasses
+
+    import dataclasses
+
+    @dataclasses.dataclass
+    class S:
+        pt: np.ndarray
+        delp: np.ndarray
+
+    s = S(pt=np.ones((2, 3)), delp=np.full((2, 3), 5.0))
+    write_restart(s, "2000-01-01", str(tmp_path / "R"))
+    arrays = load_restart_arrays(str(tmp_path / "R"))
+    np.testing.assert_array_equal(arrays["pt"], 1.0)
+    np.testing.assert_array_equal(arrays["delp"], 5.0)
