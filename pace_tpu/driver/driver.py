@@ -131,6 +131,7 @@ class Driver:
         self.config = config
         self.time = config.initialization.start_time
         self.performance_collector = config.performance_config.build()
+        self.profiler = config.performance_config.build_profiler()
         dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
         if dtype == jnp.float64 and not jax.config.jax_enable_x64:
             warnings.warn("dtype=float64 requested without jax_enable_x64")
@@ -233,6 +234,7 @@ class Driver:
         if config.diagnostics_config.output_initial_state:
             self.diagnostics.store(self.time, self.state.dycore_state)
         n_steps = config.n_timesteps()
+        self.profiler.enable()
         with self.performance_collector.total_timer.clock("total"):
             for step in range(n_steps):
                 self.performance_collector.start_step()
@@ -255,6 +257,7 @@ class Driver:
                 config.restart_config.write_intermediate_if_enabled(
                     self.state, step + 1, self.time
                 )
+        self.profiler.dump_stats()
         self.state.time = self.time
 
     def cleanup(self):

@@ -17,14 +17,47 @@ from pace_tpu.utils.timing import NullTimer, Timer
 
 @dataclasses.dataclass
 class PerformanceConfig:
+    """performance_mode enables timing collection; profile_dir (if set)
+    wraps the time loop in a jax.profiler trace (view with TensorBoard /
+    xprof) — the analogue of the reference's cProfile + NVTX hooks."""
+
     performance_mode: bool = True
     experiment_name: str = "test"
     json_all_rank_threshold: int = 1
+    profile_dir: Optional[str] = None
 
     def build(self):
         if self.performance_mode:
             return PerformanceCollector(self.experiment_name)
         return NullPerformanceCollector()
+
+    def build_profiler(self):
+        if self.profile_dir:
+            return JaxProfiler(self.profile_dir)
+        return NullProfiler()
+
+
+class JaxProfiler:
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def enable(self):
+        import jax
+
+        jax.profiler.start_trace(self.logdir)
+
+    def dump_stats(self, *_args):
+        import jax
+
+        jax.profiler.stop_trace()
+
+
+class NullProfiler:
+    def enable(self):
+        pass
+
+    def dump_stats(self, *_args):
+        pass
 
 
 class PerformanceCollector:
