@@ -48,6 +48,11 @@ def main():
     per_step = elapsed / n_steps
     simulated_days_per_day = dt_atmos / per_step
 
+    # sanity: perf on garbage does not count
+    h = sizing.halo
+    interior = state.delp[:, h:h + n, h:h + n]
+    assert bool(jnp.isfinite(interior).all()), "NaN in benchmark state"
+
     print(json.dumps({
         "metric": f"c{n}_simulated_days_per_day",
         "value": round(simulated_days_per_day, 2),
