@@ -13,11 +13,20 @@ All functions accept arrays with any number of trailing dimensions after
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 
 from pace_tpu.parallel.topology import CubedSphereTopology, HaloSpec
+
+# The packed (halo-strip scatter) form is bitwise-equivalent to the full
+# gather per call (tests/test_topology.py) and saves ~6% HBM traffic, but
+# large C48 TPU graphs using it produced NaN at tile corners while the
+# full-gather form is clean — another backend miscompilation of
+# scatter-chains in big fusions (see docs/KNOWN_ISSUES.md).  Off by
+# default until the TPU lowering is understood.
+USE_PACKED_HALO = os.environ.get("PACE_PACKED_HALO", "0") == "1"
 
 
 def _expand(idx, ndim_extra):
@@ -26,9 +35,14 @@ def _expand(idx, ndim_extra):
 
 
 def halo_update_scalar(q: jnp.ndarray, spec: HaloSpec) -> jnp.ndarray:
-    """Fill edge halos of a scalar field. Corner wedges keep prior values."""
-    gathered = q[spec.src_tile, spec.src_i, spec.src_j]
-    return gathered
+    """Fill edge halos of a scalar field. Corner wedges keep prior values.
+
+    Uses the packed strip form (only halo points move) — the dycore is
+    HBM-bound, so not rewriting the interior matters."""
+    if USE_PACKED_HALO and spec.packed is not None:
+        tt, ti, tj, st, si, sj = spec.packed
+        return q.at[tt, ti, tj].set(q[st, si, sj])
+    return q[spec.src_tile, spec.src_i, spec.src_j]
 
 
 def halo_update_scalars(
@@ -60,6 +74,16 @@ def halo_update_vector(
 
 def _vector_gather(u, v, spec: HaloSpec, apply_sign: bool = True):
     ndim_extra = u.ndim - 3
+    if USE_PACKED_HALO and spec.packed is not None:
+        # scatter only the changing points into the own-component array
+        tt, ti, tj, st, si, sj, comp, sign = spec.packed
+        own = u if spec.kind.startswith(("vector0", "ifsync0")) else v
+        from_u = u[st, si, sj]
+        from_v = v[st, si, sj]
+        vals = jnp.where(_expand(comp == 0, ndim_extra), from_u, from_v)
+        if apply_sign:
+            vals = _expand(sign, ndim_extra).astype(u.dtype) * vals
+        return own.at[tt, ti, tj].set(vals)
     from_u = u[spec.src_tile, spec.src_i, spec.src_j]
     from_v = v[spec.src_tile, spec.src_i, spec.src_j]
     comp = _expand(spec.src_comp, ndim_extra)

@@ -217,7 +217,12 @@ def _region_of(x, y, n, halo):
 @dataclasses.dataclass(frozen=True)
 class HaloSpec:
     """Precomputed gather map for one staggering/vector kind. All index
-    arrays have the full storage shape (6, N, N)."""
+    arrays have the full storage shape (6, N, N).
+
+    The `packed_*` fields are the bandwidth-efficient form: flat index
+    lists covering ONLY the points whose value changes (halo strips), so a
+    halo update scatters ~(4*n*halo) points per tile instead of rewriting
+    the whole array — the dycore is HBM-bound, so this matters."""
 
     kind: str
     src_tile: jnp.ndarray
@@ -227,6 +232,31 @@ class HaloSpec:
     src_comp: jnp.ndarray | None = None
     sign: jnp.ndarray | None = None
     valid: jnp.ndarray | None = None  # False in corner wedges
+    packed: tuple | None = None  # (tt, ti, tj, st, si, sj[, comp, sign])
+
+
+def _pack_spec(spec: HaloSpec, own_comp=None) -> HaloSpec:
+    """Compress a full-array map to the changing points only."""
+    st = np.asarray(spec.src_tile)
+    si = np.asarray(spec.src_i)
+    sj = np.asarray(spec.src_j)
+    nt, N, _ = st.shape
+    T, I, J = np.meshgrid(np.arange(nt), np.arange(N), np.arange(N),
+                          indexing="ij")
+    changes = (st != T) | (si != I) | (sj != J)
+    if spec.src_comp is not None and own_comp is not None:
+        changes |= np.asarray(spec.src_comp) != own_comp
+    if spec.sign is not None:
+        changes |= np.asarray(spec.sign) != 1.0
+    if spec.valid is not None:
+        changes &= np.asarray(spec.valid)
+    idx = np.nonzero(changes)
+    packed = [T[idx].astype(np.int32), I[idx].astype(np.int32),
+              J[idx].astype(np.int32), st[idx], si[idx], sj[idx]]
+    if spec.src_comp is not None:
+        packed.append(np.asarray(spec.src_comp)[idx])
+        packed.append(np.asarray(spec.sign)[idx])
+    return dataclasses.replace(spec, packed=tuple(packed))
 
 
 class CubedSphereTopology:
@@ -256,7 +286,7 @@ class CubedSphereTopology:
             )
         key = f"scalar:{stagger}"
         if key not in self._specs:
-            self._specs[key] = self._build_scalar(stagger)
+            self._specs[key] = _pack_spec(self._build_scalar(stagger))
         return self._specs[key]
 
     def vector_spec(self, u_stagger: str, v_stagger: str) -> Tuple[HaloSpec, HaloSpec]:
@@ -339,8 +369,14 @@ class CubedSphereTopology:
         A @ e_x, so u_local = sum_k (A)[k,0] * comp'_k evaluated at the
         transformed point (A is a signed permutation, so exactly one k).
         """
-        u_spec = self._build_vector_component(u_stagger, v_stagger, comp=0)
-        v_spec = self._build_vector_component(u_stagger, v_stagger, comp=1)
+        u_spec = _pack_spec(
+            self._build_vector_component(u_stagger, v_stagger, comp=0),
+            own_comp=0,
+        )
+        v_spec = _pack_spec(
+            self._build_vector_component(u_stagger, v_stagger, comp=1),
+            own_comp=1,
+        )
         return (u_spec, v_spec)
 
     def _build_vector_component(self, u_stagger, v_stagger, comp: int) -> HaloSpec:
@@ -415,8 +451,14 @@ class CubedSphereTopology:
         differing from identity on the shared lines.
         """
         return (
-            self._build_interface_sync(u_stagger, v_stagger, comp=0),
-            self._build_interface_sync(u_stagger, v_stagger, comp=1),
+            _pack_spec(
+                self._build_interface_sync(u_stagger, v_stagger, comp=0),
+                own_comp=0,
+            ),
+            _pack_spec(
+                self._build_interface_sync(u_stagger, v_stagger, comp=1),
+                own_comp=1,
+            ),
         )
 
     def _build_interface_sync(self, u_stagger, v_stagger, comp: int) -> HaloSpec:

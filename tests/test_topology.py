@@ -291,3 +291,46 @@ class TestInterfaceSync:
         )
         np.testing.assert_allclose(np.asarray(us), np.asarray(us2))
         np.testing.assert_allclose(np.asarray(vs), np.asarray(vs2))
+
+
+def test_packed_halo_equivalence():
+    """The packed (strip-scatter) halo form must match the full gather
+    bitwise for every spec kind (see docs/KNOWN_ISSUES.md)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pace_tpu.parallel import halo as halo_mod
+    from pace_tpu.parallel.topology import get_topology
+
+    topo = get_topology(12, 3)
+    N = 24
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(6, N, N, 4))
+    u = jnp.asarray(rng.randn(6, N, N, 4))
+    v = jnp.asarray(rng.randn(6, N, N, 4))
+
+    def unpack(spec):
+        return dataclasses.replace(spec, packed=None)
+
+    old = halo_mod.USE_PACKED_HALO
+    try:
+        for stag in ("center", "corner"):
+            spec = topo.scalar_spec(stag)
+            halo_mod.USE_PACKED_HALO = True
+            a = halo_mod.halo_update_scalar(q, spec)
+            halo_mod.USE_PACKED_HALO = False
+            b = halo_mod.halo_update_scalar(q, unpack(spec))
+            assert float(jnp.abs(a - b).max()) == 0.0, stag
+        for stags in (("y_iface", "x_iface"), ("x_iface", "y_iface"),
+                      ("center", "center")):
+            us, vs = topo.vector_spec(*stags)
+            for spec in (us, vs):
+                halo_mod.USE_PACKED_HALO = True
+                a = halo_mod._vector_gather(u, v, spec)
+                halo_mod.USE_PACKED_HALO = False
+                b = halo_mod._vector_gather(u, v, unpack(spec))
+                assert float(jnp.abs(a - b).max()) == 0.0, stags
+    finally:
+        halo_mod.USE_PACKED_HALO = old
