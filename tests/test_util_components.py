@@ -177,3 +177,38 @@ def test_restart_npy_roundtrip(tmp_path):
     arrays = load_restart_arrays(str(tmp_path / "R"))
     np.testing.assert_array_equal(arrays["pt"], 1.0)
     np.testing.assert_array_equal(arrays["delp"], 5.0)
+
+
+def test_functional_validation():
+    from pace_tpu.utils.functional_validation import (
+        get_set_nan_func,
+        get_subset_func,
+        selective_compare,
+    )
+    from pace_tpu.utils.gridtools import GridSizing
+
+    sizing = GridSizing(12, 4)
+    N = sizing.N
+    data = np.arange(6 * N * N * 4, dtype=float).reshape(6, N, N, 4)
+    subset = get_subset_func(sizing, ("x", "y", "z"))
+    assert subset(data).shape == (6, 12, 12, 4)
+    subset_u = get_subset_func(sizing, ("x", "y_interface", "z"))
+    assert subset_u(data).shape == (6, 12, 13, 4)
+    subset_h = get_subset_func(
+        sizing, ("x", "y", "z"), n_halo=((1, 1), (1, 1))
+    )
+    assert subset_h(data).shape == (6, 14, 14, 4)
+
+    set_nans = get_set_nan_func(sizing, ("x", "y", "z"))
+    nulled = set_nans(data)
+    assert np.isnan(nulled[:, 0, 0]).all()  # halo nulled
+    assert np.isfinite(nulled[:, 3:15, 3:15]).all()  # interior kept
+
+    # selective comparison ignores halo differences
+    other = data.copy()
+    other[:, 0, 0] += 999.0
+    selective_compare(data, other, sizing)
+    with pytest.raises(AssertionError):
+        other2 = data.copy()
+        other2[:, 5, 5] += 1.0
+        selective_compare(data, other2, sizing)
