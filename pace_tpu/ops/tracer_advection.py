@@ -56,10 +56,24 @@ def tracer_advection(
     y_mass_flux = y_mass_flux * frac
 
     center = topo.scalar_spec("center")
-    tracers = {
-        name: halo_mod.halo_update_scalar(q, center)
-        for name, q in tracers.items()
-    }
+    names = list(tracers.keys())
+    # keep the tracers STACKED through all substeps: one batched halo
+    # gather and one batched transport graph instead of per-tracer ops
+    # (the dycore is HBM-bound; 8x fewer gather kernels per exchange)
+    stacked = jnp.stack([tracers[name] for name in names])
+    batched_halo = jax.vmap(
+        lambda q: halo_mod.halo_update_scalar(q, center)
+    )
+    stacked = batched_halo(stacked)
+
+    def transport_one(q, dp1_, dp2_):
+        fx, fy = fv_tp_2d(
+            q, x_courant, y_courant, xfx, yfx, gd, n, h, hord_tr,
+            x_mass_flux=x_mass_flux, y_mass_flux=y_mass_flux,
+        )
+        return (
+            q * dp1_ + (fx - shift(fx, 1) + fy - shift(fy, 0, 1)) * rarea
+        ) / dp2_
 
     for it in range(n_split):
         last_call = it == n_split - 1
@@ -67,25 +81,10 @@ def tracer_advection(
             x_mass_flux - shift(x_mass_flux, 1)
             + y_mass_flux - shift(y_mass_flux, 0, 1)
         ) * rarea
-        # one batched transport over all tracers (vmap: single graph)
-        names = list(tracers.keys())
-        stacked = jnp.stack([tracers[name] for name in names])
-
-        def transport_one(q):
-            fx, fy = fv_tp_2d(
-                q, x_courant, y_courant, xfx, yfx, gd, n, h, hord_tr,
-                x_mass_flux=x_mass_flux, y_mass_flux=y_mass_flux,
-            )
-            return (
-                q * dp1 + (fx - shift(fx, 1) + fy - shift(fy, 0, 1)) * rarea
-            ) / dp2
-
-        stacked = jax.vmap(transport_one)(stacked)
-        tracers = {name: stacked[i] for i, name in enumerate(names)}
+        stacked = jax.vmap(transport_one, in_axes=(0, None, None))(
+            stacked, dp1, dp2
+        )
         if not last_call:
-            tracers = {
-                name: halo_mod.halo_update_scalar(q, center)
-                for name, q in tracers.items()
-            }
+            stacked = batched_halo(stacked)
             dp1 = dp2
-    return tracers
+    return {name: stacked[i] for i, name in enumerate(names)}
