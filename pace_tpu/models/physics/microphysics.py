@@ -872,7 +872,9 @@ def fields_init(nml: PhysicsConfig, consts, land, area, qa, qg, qi, ql, qn,
 
     # CCN (Klein eq. 15); surface value propagated through the column
     if nml.prog_ccn:
-        ccn = qn * 1.0e6
+        # floor: a zero prognostic droplet number would give
+        # c_praut = 0**(-1/3) = inf (latent hazard in the reference too)
+        ccn = jnp.maximum(qn, 1.0e-2) * 1.0e6
     else:
         ccn2d = (nml.ccn_l * land + nml.ccn_o * (1.0 - land)) * 1.0e6
         ccn = jnp.broadcast_to(ccn2d[..., None], tz.shape)

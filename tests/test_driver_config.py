@@ -95,3 +95,41 @@ def test_performance_collector_sypd():
     # 2 steps x 225 s simulated in 2 s wall -> 225 sim-s per wall-s
     sypd = pc.sypd(dt_atmos=225.0)
     assert abs(sypd - 225.0 / 365.0) < 1e-6
+
+
+def test_restart_init_roundtrip(tmp_path):
+    """RestartInit loads what write_restart saved (npy fast path)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pace_tpu.driver.initialization import RestartInit
+    from pace_tpu.driver.restart import write_restart
+    from pace_tpu.models.fv3.init.baroclinic import init_baroclinic_state
+    from pace_tpu.utils.gridtools import GridSizing
+
+    sizing = GridSizing(12, 79)
+    state = init_baroclinic_state(sizing, dtype=jnp.float64)
+    write_restart(state, "2000-01-02", str(tmp_path / "R"))
+    loaded = RestartInit(path=str(tmp_path / "R")).get_dycore_state(
+        sizing, jnp.float64
+    )
+    for f in dataclasses.fields(state):
+        a = np.asarray(getattr(state, f.name))
+        b = np.asarray(getattr(loaded, f.name))
+        both_nan = np.isnan(a) & np.isnan(b)
+        assert ((a == b) | both_nan).all(), f.name
+
+
+def test_config_rejects_unsupported_modes():
+    from pace_tpu.models.fv3.config import DynamicalCoreConfig
+    from pace_tpu.models.fv3.dynamics import DynamicalCore
+    from pace_tpu.utils.gridtools import GridSizing
+
+    sizing = GridSizing(12, 79)
+    with pytest.raises(NotImplementedError, match="hydrostatic"):
+        DynamicalCore(DynamicalCoreConfig(hydrostatic=True), sizing,
+                      None, 225.0)
+    with pytest.raises(NotImplementedError, match="consv_te"):
+        DynamicalCore(DynamicalCoreConfig(consv_te=0.7), sizing,
+                      None, 225.0)

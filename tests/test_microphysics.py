@@ -189,3 +189,58 @@ def test_cold_rain_freezes():
     frozen_gain = out["qs_dt"] + out["qg_dt"] + out["qi_dt"]
     assert float(frozen_gain.max()) > 0.0
     assert float(out["qr_dt"].min()) < 0.0
+
+
+def test_do_qa_false_cloud_fraction():
+    """do_qa=False activates the explicit cloud-fraction branch: a
+    saturated column must report qa_dt > 0 (partial/full cloud cover)."""
+    config = PhysicsConfig(do_qa=False, fast_sat_adj=False)
+    state = _column_state(supersat_k=18)
+    area = jnp.full((4, 3), 1.0e10, jnp.float64)
+    mp = Microphysics(config, area, timestep=225.0)
+    out = mp(state)
+    assert not bool(jnp.isnan(out["qa_dt"]).any())
+    assert float(out["qa_dt"].max()) > 0.0
+
+
+def test_do_sedi_heat():
+    """Sedimentation heating: falling rain converts potential energy to
+    heat; temperatures stay finite and the column still conserves water."""
+    config = PhysicsConfig(do_sedi_heat=True)
+    state = _column_state()
+    area = jnp.full((4, 3), 1.0e10, jnp.float64)
+    mp = Microphysics(config, area, timestep=225.0)
+    out = mp(state)
+    assert not bool(jnp.isnan(out["pt_dt"]).any())
+    dp0 = state.delprsi
+    q_dt_sum = (out["qv_dt"] + out["ql_dt"] + out["qr_dt"] + out["qi_dt"]
+                + out["qs_dt"] + out["qg_dt"])
+    water_change = jnp.sum(dp0 * q_dt_sum * 225.0, axis=-1)
+    convt = 86400.0 / 225.0 * (1.0 / con.GRAV)
+    precip = (out["rain"] + out["snow"] + out["ice"]
+              + out["graupel"]) / convt
+    np.testing.assert_allclose(np.asarray(water_change),
+                               -np.asarray(precip), rtol=1e-9, atol=1e-10)
+
+
+def test_const_fall_speeds():
+    """const_v* flags use fixed fall-speed factors; scheme stays finite."""
+    config = PhysicsConfig(const_vi=True, const_vs=True, const_vg=True,
+                           const_vr=True, vi_fac=1.0 / 3, vs_fac=1.0,
+                           vg_fac=2.0, vr_fac=4.0)
+    state = _column_state()
+    area = jnp.full((4, 3), 1.0e10, jnp.float64)
+    mp = Microphysics(config, area, timestep=225.0)
+    out = mp(state)
+    for v in out.values():
+        assert not bool(jnp.isnan(v).any())
+
+
+def test_prog_ccn():
+    config = PhysicsConfig(prog_ccn=True)
+    state = _column_state()
+    area = jnp.full((4, 3), 1.0e10, jnp.float64)
+    mp = Microphysics(config, area, timestep=225.0)
+    out = mp(state)
+    for v in out.values():
+        assert not bool(jnp.isnan(v).any())
