@@ -70,3 +70,29 @@ class TestDycoreStep:
         m0 = (np.asarray(state0.delp)[:, H:H + N, H:H + N] * area).sum()
         m1 = (compute(stepped_state.delp) * area).sum()
         np.testing.assert_allclose(m1, m0, rtol=1e-10)
+
+
+def test_91_level_step():
+    """The 91-level ak/bk table drives a valid step (smaller smoke than
+    the 79-level fixtures; one step, interior finite)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pace_tpu.grid.generation import generate_grid_data
+    from pace_tpu.models.fv3.config import DynamicalCoreConfig
+    from pace_tpu.models.fv3.dynamics import DynamicalCore
+    from pace_tpu.models.fv3.init.baroclinic import init_baroclinic_state
+    from pace_tpu.utils.gridtools import GridSizing
+
+    sizing = GridSizing(12, 91)
+    gd = generate_grid_data(12, 91, dtype=jnp.float64)
+    core = DynamicalCore(
+        DynamicalCoreConfig(do_sat_adj=False), sizing, gd, timestep=225.0
+    )
+    state = init_baroclinic_state(sizing, dtype=jnp.float64)
+    out = jax.jit(core.step_dynamics)(state)
+    h, n = sizing.halo, sizing.n
+    a = np.asarray(out.pt)[:, h:h + n, h:h + n]
+    assert np.isfinite(a).all()
+    assert 150.0 < a.min() and a.max() < 350.0
