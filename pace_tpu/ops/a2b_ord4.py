@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from pace_tpu.ops.stencil_utils import set_region, shift
+from pace_tpu.ops import stencil_utils as su
 
 # compact 4-pt cubic interpolation
 C1 = 2.0 / 3.0
@@ -103,24 +104,24 @@ def a2b_ord4(qin: jnp.ndarray, gd, n: int, h: int) -> jnp.ndarray:
     q2 = (shift(qin, -1) * dxa + qin * shift(dxa, -1)) / (shift(dxa, -1) + dxa)
     ew = hz.edge_w[:, None, :, None]  # (6, 1, N, 1), along j
     val = ew * shift(q2, 0, -1) + (1.0 - ew) * q2
-    qout = qout.at[:, h, jm].set(val[:, h, jm])
+    qout = su.upd_point(qout, val, h, jm)
     ee = hz.edge_e[:, None, :, None]
     val = ee * shift(q2, 0, -1) + (1.0 - ee) * q2
-    qout = qout.at[:, h + n, jm].set(val[:, h + n, jm])
+    qout = su.upd_point(qout, val, h + n, jm)
     # south (j = h)
     q1 = (shift(qin, 0, -1) * dya + qin * shift(dya, 0, -1)) / (
         shift(dya, 0, -1) + dya
     )
     es = hz.edge_s[:, :, None, None]
     val = es * shift(q1, -1) + (1.0 - es) * q1
-    qout = qout.at[:, jm, h].set(val[:, jm, h])
+    qout = su.upd_point(qout, val, jm, h)
     en = hz.edge_n[:, :, None, None]
     val = en * shift(q1, -1) + (1.0 - en) * q1
-    qout = qout.at[:, jm, h + n].set(val[:, jm, h + n])
+    qout = su.upd_point(qout, val, jm, h + n)
     tmp_edges = tmp_edges.at[:, h, :].set(qout[:, h, :])
     tmp_edges = tmp_edges.at[:, h + n, :].set(qout[:, h + n, :])
-    tmp_edges = tmp_edges.at[:, :, h].set(qout[:, :, h])
-    tmp_edges = tmp_edges.at[:, :, h + n].set(qout[:, :, h + n])
+    tmp_edges = su.upd_rows(tmp_edges, qout, h)
+    tmp_edges = su.upd_rows(tmp_edges, qout, h + n)
 
     # --- PPM volume means on interfaces (qx, qy) ---------------------------
     qx = B2 * (shift(qin, -2) + shift(qin, 1)) + B1 * (shift(qin, -1) + qin)
@@ -131,7 +132,7 @@ def a2b_ord4(qin: jnp.ndarray, gd, n: int, h: int) -> jnp.ndarray:
         ((2.0 + g_in) * qin - shift(qin, 1)) / (1.0 + g_in)
         + ((2.0 + g_ou) * shift(qin, -1) - shift(qin, -2)) / (1.0 + g_ou)
     )
-    qx = qx.at[:, h].set(qx_w[:, h])
+    qx = su.upd_cols(qx, qx_w, h)
     g_in2 = dxa / shift(dxa, -1)
     g_ou2 = shift(dxa, -3) / shift(dxa, -2)
     qxleft = 0.5 * (
@@ -142,14 +143,14 @@ def a2b_ord4(qin: jnp.ndarray, gd, n: int, h: int) -> jnp.ndarray:
     qx_w2 = (
         3.0 * (g_in2 * shift(qin, -1) + qin) - (g_in2 * qxleft + qxright)
     ) / (2.0 + 2.0 * g_in2)
-    qx = qx.at[:, h + 1].set(qx_w2[:, h + 1])
+    qx = su.upd_cols(qx, qx_w2, h + 1)
     g_in = shift(dxa, -2) / shift(dxa, -1)
     g_ou = shift(dxa, 1) / dxa
     qx_e = 0.5 * (
         ((2.0 + g_in) * shift(qin, -1) - shift(qin, -2)) / (1.0 + g_in)
         + ((2.0 + g_ou) * qin - shift(qin, 1)) / (1.0 + g_ou)
     )
-    qx = qx.at[:, h + n].set(qx_e[:, h + n])
+    qx = su.upd_cols(qx, qx_e, h + n)
     g_in2 = shift(dxa, -1) / dxa
     g_ou2 = shift(dxa, 2) / shift(dxa, 1)
     qxright2 = 0.5 * (
@@ -160,7 +161,7 @@ def a2b_ord4(qin: jnp.ndarray, gd, n: int, h: int) -> jnp.ndarray:
     qx_e2 = (
         3.0 * (shift(qin, -1) + g_in2 * qin) - (g_in2 * qxright2 + qxleft2)
     ) / (2.0 + 2.0 * g_in2)
-    qx = qx.at[:, h + n - 1].set(qx_e2[:, h + n - 1])
+    qx = su.upd_cols(qx, qx_e2, h + n - 1)
 
     qy = B2 * (shift(qin, 0, -2) + shift(qin, 0, 1)) + B1 * (shift(qin, 0, -1) + qin)
     g_in = shift(dya, 0, 1) / dya
@@ -169,7 +170,7 @@ def a2b_ord4(qin: jnp.ndarray, gd, n: int, h: int) -> jnp.ndarray:
         ((2.0 + g_in) * qin - shift(qin, 0, 1)) / (1.0 + g_in)
         + ((2.0 + g_ou) * shift(qin, 0, -1) - shift(qin, 0, -2)) / (1.0 + g_ou)
     )
-    qy = qy.at[:, :, h].set(qy_s[:, :, h])
+    qy = su.upd_rows(qy, qy_s, h)
     g_in2 = dya / shift(dya, 0, -1)
     g_ou2 = shift(dya, 0, -3) / shift(dya, 0, -2)
     qy_lower = 0.5 * (
@@ -182,14 +183,14 @@ def a2b_ord4(qin: jnp.ndarray, gd, n: int, h: int) -> jnp.ndarray:
     qy_s2 = (
         3.0 * (g_in2 * shift(qin, 0, -1) + qin) - (g_in2 * qy_lower + qy_upper)
     ) / (2.0 + 2.0 * g_in2)
-    qy = qy.at[:, :, h + 1].set(qy_s2[:, :, h + 1])
+    qy = su.upd_rows(qy, qy_s2, h + 1)
     g_in = shift(dya, 0, -2) / shift(dya, 0, -1)
     g_ou = shift(dya, 0, 1) / dya
     qy_n = 0.5 * (
         ((2.0 + g_in) * shift(qin, 0, -1) - shift(qin, 0, -2)) / (1.0 + g_in)
         + ((2.0 + g_ou) * qin - shift(qin, 0, 1)) / (1.0 + g_ou)
     )
-    qy = qy.at[:, :, h + n].set(qy_n[:, :, h + n])
+    qy = su.upd_rows(qy, qy_n, h + n)
     g_in2 = shift(dya, 0, -1) / dya
     g_ou2 = shift(dya, 0, 2) / shift(dya, 0, 1)
     qy_lower2 = B2 * (shift(qin, 0, -3) + qin) + B1 * (
@@ -202,7 +203,7 @@ def a2b_ord4(qin: jnp.ndarray, gd, n: int, h: int) -> jnp.ndarray:
     qy_n2 = (
         3.0 * (shift(qin, 0, -1) + g_in2 * qin) - (g_in2 * qy_upper2 + qy_lower2)
     ) / (2.0 + 2.0 * g_in2)
-    qy = qy.at[:, :, h + n - 1].set(qy_n2[:, :, h + n - 1])
+    qy = su.upd_rows(qy, qy_n2, h + n - 1)
 
     # --- interior interpolation (a2b_interpolation) -------------------------
     qxx = A2 * (shift(qx, 0, -2) + shift(qx, 0, 1)) + A1 * (shift(qx, 0, -1) + qx)
@@ -210,16 +211,16 @@ def a2b_ord4(qin: jnp.ndarray, gd, n: int, h: int) -> jnp.ndarray:
     # row/column adjacent to tile edges use the compact form w/ edge values
     qxx_upper = A2 * (shift(qx, 0, -1) + shift(qx, 0, 2)) + A1 * (qx + shift(qx, 0, 1))
     qxx_j1 = C1 * (shift(qx, 0, -1) + qx) + C2 * (shift(tmp_edges, 0, -1) + qxx_upper)
-    qxx = qxx.at[:, :, h + 1].set(qxx_j1[:, :, h + 1])
+    qxx = su.upd_rows(qxx, qxx_j1, h + 1)
     qxx_lower = A2 * (shift(qx, 0, -3) + qx) + A1 * (shift(qx, 0, -2) + shift(qx, 0, -1))
     qxx_jn = C1 * (shift(qx, 0, -1) + qx) + C2 * (shift(tmp_edges, 0, 1) + qxx_lower)
-    qxx = qxx.at[:, :, h + n - 1].set(qxx_jn[:, :, h + n - 1])
+    qxx = su.upd_rows(qxx, qxx_jn, h + n - 1)
     qyy_right = A2 * (shift(qy, -1) + shift(qy, 2)) + A1 * (qy + shift(qy, 1))
     qyy_i1 = C1 * (shift(qy, -1) + qy) + C2 * (shift(tmp_edges, -1) + qyy_right)
-    qyy = qyy.at[:, h + 1].set(qyy_i1[:, h + 1])
+    qyy = su.upd_cols(qyy, qyy_i1, h + 1)
     qyy_left = A2 * (shift(qy, -3) + qy) + A1 * (shift(qy, -2) + shift(qy, -1))
     qyy_in = C1 * (shift(qy, -1) + qy) + C2 * (shift(tmp_edges, 1) + qyy_left)
-    qyy = qyy.at[:, h + n - 1].set(qyy_in[:, h + n - 1])
+    qyy = su.upd_cols(qyy, qyy_in, h + n - 1)
 
     interior = 0.5 * (qxx + qyy)
     qout = set_region(

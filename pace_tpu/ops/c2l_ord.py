@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pace_tpu.ops.stencil_utils import shift
 from pace_tpu.parallel import halo as halo_mod
+from pace_tpu.ops import stencil_utils as su
 
 C1 = 1.125
 C2 = -0.125
@@ -36,11 +37,11 @@ def cubed_to_latlon(u, v, gd, topo, n, h, order: int = 4, do_halo=True):
     u2 = 2.0 * (u * dx + shift(u, 0, 1) * shift(dx, 0, 1)) / (dx + shift(dx, 0, 1))
     v2 = 2.0 * (v * dy + shift(v, 1) * shift(dy, 1)) / (dy + shift(dy, 1))
     for j in (h, h + n - 1):
-        utmp = utmp.at[:, :, j].set(u2[:, :, j])
-        vtmp = vtmp.at[:, :, j].set(v2[:, :, j])
+        utmp = su.upd_rows(utmp, u2, j)
+        vtmp = su.upd_rows(vtmp, v2, j)
     for i in (h, h + n - 1):
-        utmp = utmp.at[:, i].set(u2[:, i])
-        vtmp = vtmp.at[:, i].set(v2[:, i])
+        utmp = su.upd_cols(utmp, u2, i)
+        vtmp = su.upd_cols(vtmp, v2, i)
     ua = a11 * utmp + a12 * vtmp
     va = a21 * utmp + a22 * vtmp
     return ua, va, u, v

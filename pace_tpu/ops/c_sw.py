@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from pace_tpu.ops import corners as corner_ops
 from pace_tpu.ops.d2a2c import d2a2c_vect
 from pace_tpu.ops.stencil_utils import shift
+from pace_tpu.ops import stencil_utils as su
 
 
 def _sg(ang, i):
@@ -45,19 +46,19 @@ def divergence_corner(u, v, ua, va, gd, n, h):
     vf0 = v * dxc * 0.5 * (shift(sin3, -1) + sin1)
     # west/east interface columns (i = h, h+n)
     col = (shift(vf0, 0, -1) - vf0 + shift(uf, -1) - uf) * rarea_c
-    divg_d = divg_d.at[:, h].set(col[:, h])
-    divg_d = divg_d.at[:, h + n].set(col[:, h + n])
+    divg_d = su.upd_cols(divg_d, col, h)
+    divg_d = su.upd_cols(divg_d, col, h + n)
     # south/north rows (j = h, h+n)
     row = (shift(vf, 0, -1) - vf + shift(uf0, -1) - uf0) * rarea_c
-    divg_d = divg_d.at[:, :, h].set(row[:, :, h])
-    divg_d = divg_d.at[:, :, h + n].set(row[:, :, h + n])
+    divg_d = su.upd_rows(divg_d, row, h)
+    divg_d = su.upd_rows(divg_d, row, h + n)
     # corners
     sw = (-vf0 + shift(uf0, -1) - uf0) * rarea_c
     for ci, cj in ((h, h), (h + n, h)):
-        divg_d = divg_d.at[:, ci, cj].set(sw[:, ci, cj])
+        divg_d = su.upd_point(divg_d, sw, ci, cj)
     ne = (shift(vf0, 0, -1) + shift(uf0, -1) - uf0) * rarea_c
     for ci, cj in ((h + n, h + n), (h, h + n)):
-        divg_d = divg_d.at[:, ci, cj].set(ne[:, ci, cj])
+        divg_d = su.upd_point(divg_d, ne, ci, cj)
     return divg_d
 
 
@@ -130,16 +131,16 @@ def c_sw(delp, pt, u, v, w, omga_unused, gd, n, h, dt2, nord):
         va <= 0.0, vort * sin4 + shift(u, 0, 1) * cos4, vort
     )
     for j in (h - 1, h + n - 1):
-        vort = vort.at[:, :, j].set(v_edge_lo[:, :, j])
+        vort = su.upd_rows(vort, v_edge_lo, j)
     v_edge_hi = jnp.where(va > 0.0, vort * sin2 + u * cos2, vort)
     for j in (h, h + n):
-        vort = vort.at[:, :, j].set(v_edge_hi[:, :, j])
+        vort = su.upd_rows(vort, v_edge_hi, j)
     k_edge_lo = jnp.where(ua <= 0.0, ke * sin3 + shift(v, 1) * cos3, ke)
     for i in (h + n - 1, h - 1):
-        ke = ke.at[:, i].set(k_edge_lo[:, i])
+        ke = su.upd_cols(ke, k_edge_lo, i)
     k_edge_hi = jnp.where(ua > 0.0, ke * sin1 + v * cos1, ke)
     for i in (h + n, h):
-        ke = ke.at[:, i].set(k_edge_hi[:, i])
+        ke = su.upd_cols(ke, k_edge_hi, i)
     ke = 0.5 * dt2 * (ua * ke + va * vort)
 
     # C-grid circulation -> absolute vorticity at corners
@@ -150,10 +151,10 @@ def c_sw(delp, pt, u, v, w, omga_unused, gd, n, h, dt2, nord):
     vort_c = shift(fxc, 0, -1) - fxc - shift(fyc, -1) + fyc
     no_fy1 = shift(fxc, 0, -1) - fxc + fyc
     for ci, cj in ((h, h), (h, h + n)):
-        vort_c = vort_c.at[:, ci, cj].set(no_fy1[:, ci, cj])
+        vort_c = su.upd_point(vort_c, no_fy1, ci, cj)
     no_fy = shift(fxc, 0, -1) - fxc - shift(fyc, -1)
     for ci, cj in ((h + n, h), (h + n, h + n)):
-        vort_c = vort_c.at[:, ci, cj].set(no_fy[:, ci, cj])
+        vort_c = su.upd_point(vort_c, no_fy, ci, cj)
     vort_c = gd.horizontal.fC[..., None] + hz.rarea_c[..., None] * vort_c
 
     # update C-grid winds
@@ -167,14 +168,14 @@ def c_sw(delp, pt, u, v, w, omga_unused, gd, n, h, dt2, nord):
     tmp_flux = dt2 * (u - vc * cosa_v) / sina_v
     edge = dt2 * u
     for j in (h, h + n):
-        tmp_flux = tmp_flux.at[:, :, j].set(edge[:, :, j])
+        tmp_flux = su.upd_rows(tmp_flux, edge, j)
     flux = jnp.where(tmp_flux > 0.0, vort_c, shift(vort_c, 1))
     vc = vc - tmp_flux * flux + rdyc * (shift(ke, 0, -1) - ke)
 
     tmp_flux = dt2 * (v - uc * cosa_u) / sina_u
     edge = dt2 * v
     for i in (h, h + n):
-        tmp_flux = tmp_flux.at[:, i].set(edge[:, i])
+        tmp_flux = su.upd_cols(tmp_flux, edge, i)
     flux = jnp.where(tmp_flux > 0.0, vort_c, shift(vort_c, 0, 1))
     uc = uc + tmp_flux * flux + rdxc * (shift(ke, -1) - ke)
 

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from pace_tpu.ops import corners as corner_ops
 from pace_tpu.ops.a2b_ord4 import A1, A2
 from pace_tpu.ops.stencil_utils import set_region, shift
+from pace_tpu.ops import stencil_utils as su
 
 C1 = -2.0 / 14.0
 C2 = 11.0 / 14.0
@@ -97,15 +98,15 @@ def d2a2c_vect(u, v, gd, n: int, h: int, dord4: bool = True):
     cubic = C1 * shift(utmp, -2) + C2 * shift(utmp, -1) + C3 * utmp
     cubic_rev = C1 * shift(utmp, 1) + C2 * utmp + C3 * shift(utmp, -1)
     for i in (h - 1, h + n - 1):
-        uc = uc.at[:, i].set(cubic[:, i])
+        uc = su.upd_cols(uc, cubic, i)
     for i in (h + 1, h + n + 1):
-        uc = uc.at[:, i].set(cubic_rev[:, i])
+        uc = su.upd_cols(uc, cubic_rev, i)
     ut = contravariant(uc, v, cosa_u, rsin_u)
     edge4 = _edge_interpolate4_x(ua, dxa)
     sinw = jnp.where(edge4 > 0.0, shift(sin_sg3, -1), sin_sg1)
     for i in (h, h + n):
-        ut = ut.at[:, i].set(edge4[:, i])
-        uc = uc.at[:, i].set((edge4 * sinw)[:, i])
+        ut = su.upd_cols(ut, edge4, i)
+        uc = su.upd_cols(uc, (edge4 * sinw), i)
 
     # y-direction corner fills
     vtmp = corner_ops.fill_corners_cells(
@@ -121,14 +122,14 @@ def d2a2c_vect(u, v, gd, n: int, h: int, dord4: bool = True):
     cubic = C1 * shift(vtmp, 0, -2) + C2 * shift(vtmp, 0, -1) + C3 * vtmp
     cubic_rev = C1 * shift(vtmp, 0, 1) + C2 * vtmp + C3 * shift(vtmp, 0, -1)
     for j in (h - 1, h + n - 1):
-        vc = vc.at[:, :, j].set(cubic[:, :, j])
+        vc = su.upd_rows(vc, cubic, j)
     for j in (h + 1, h + n + 1):
-        vc = vc.at[:, :, j].set(cubic_rev[:, :, j])
+        vc = su.upd_rows(vc, cubic_rev, j)
     vt = contravariant(vc, u, cosa_v, rsin_v)
     edge4 = _edge_interpolate4_y(va, dya)
     sins = jnp.where(edge4 > 0.0, shift(sin_sg4, 0, -1), sin_sg2)
     for j in (h, h + n):
-        vt = vt.at[:, :, j].set(edge4[:, :, j])
-        vc = vc.at[:, :, j].set((edge4 * sins)[:, :, j])
+        vt = su.upd_rows(vt, edge4, j)
+        vc = su.upd_rows(vc, (edge4 * sins), j)
 
     return uc, vc, ua, va, ut, vt

@@ -19,6 +19,7 @@ from pace_tpu.ops.fvtp2d import fv_tp_2d
 from pace_tpu.ops.fxadv import fx_adv
 from pace_tpu.ops.stencil_utils import shift
 from pace_tpu.ops.xtp import advect_u_along_x, advect_v_along_y
+from pace_tpu.ops import stencil_utils as su
 
 DCON_THRESHOLD = 1e-5
 
@@ -40,18 +41,18 @@ def _interpolate_uc_vc_to_corners(uc, vc, ut, vt, gd, n, h):
         -shift(ut, 0, -2) + 3.0 * (shift(ut, 0, -1) + ut) - shift(ut, 0, 1)
     )
     for j in (h, h + n):
-        ub_contra = ub_contra.at[:, :, j].set(ub_edge_j[:, :, j])
+        ub_contra = su.upd_rows(ub_contra, ub_edge_j, j)
     ub_edge_i = 0.5 * (shift(ut, 0, -1) + ut)
     for i in (h, h + n):
-        ub_contra = ub_contra.at[:, i].set(ub_edge_i[:, i])
+        ub_contra = su.upd_cols(ub_contra, ub_edge_i, i)
     vb_edge_i = 0.25 * (
         -shift(vt, -2) + 3.0 * (shift(vt, -1) + vt) - shift(vt, 1)
     )
     for i in (h, h + n):
-        vb_contra = vb_contra.at[:, i].set(vb_edge_i[:, i])
+        vb_contra = su.upd_cols(vb_contra, vb_edge_i, i)
     vb_edge_j = 0.5 * (shift(vt, -1) + vt)
     for j in (h, h + n):
-        vb_contra = vb_contra.at[:, :, j].set(vb_edge_j[:, :, j])
+        vb_contra = su.upd_rows(vb_contra, vb_edge_j, j)
     return ub_contra, vb_contra
 
 
@@ -76,7 +77,7 @@ def _corner_ke(ke, u, v, ut, vt, dt, n, h):
         (h, h + n, 0, -1, -1, -1),
     ):
         e = expr(io1, jo1, io2, vsign)
-        ke = ke.at[:, ci, cj].set(e[:, ci, cj])
+        ke = su.upd_point(ke, e, ci, cj)
     return ke
 
 
@@ -144,8 +145,8 @@ def d_sw(
     pt_new = pt * delp + flux_increment(gx, gy, rarea)
     delp_new = delp + flux_increment(fx, fy, rarea)
     pt_new = pt_new / delp_new
-    pt = pt.at[:, ci, ci].set(pt_new[:, ci, ci])
-    delp = delp.at[:, ci, ci].set(delp_new[:, ci, ci])
+    pt = su.upd_point(pt, pt_new, ci, ci)
+    delp = su.upd_point(delp, delp_new, ci, ci)
 
     # finish w/q_con updates
     w = w / delp
@@ -188,8 +189,8 @@ def d_sw(
     # u/v update from KE gradient + vorticity fluxes (outputs u*dx, v*dy)
     u_new = u * dx + ke - shift(ke, 1) + fy
     v_new = v * dy + ke - shift(ke, 0, 1) - fx
-    u = u.at[:, ci, cie].set(u_new[:, ci, cie])
-    v = v.at[:, cie, ci].set(v_new[:, cie, ci])
+    u = su.upd_point(u, u_new, ci, cie)
+    v = su.upd_point(v, v_new, cie, ci)
 
     # vorticity damping fluxes and implied heating
     damp_vt_col = delnflux_mod.calc_damp(
@@ -204,9 +205,9 @@ def d_sw(
         vxd = jnp.zeros_like(vort_damped_b)
         vyd = jnp.zeros_like(vort_damped_b)
         dcol = vort_damped_b - shift(vort_damped_b, 1)
-        vxd = vxd.at[:, ci, cie].set(dcol[:, ci, cie])
+        vxd = su.upd_point(vxd, dcol, ci, cie)
         dcol = vort_damped_b - shift(vort_damped_b, 0, 1)
-        vyd = vyd.at[:, cie, ci].set(dcol[:, cie, ci])
+        vyd = su.upd_point(vyd, dcol, cie, ci)
 
         rdx = hz.rdx[..., None]
         rdy = hz.rdy[..., None]
@@ -242,8 +243,8 @@ def d_sw(
     damp_vt_mask = jnp.asarray(col["damp_vt"] > 1e-5).reshape(1, 1, 1, -1)
     u_upd = jnp.where(damp_vt_mask, u + vt_d, u)
     v_upd = jnp.where(damp_vt_mask, v - ut_d, v)
-    u = u.at[:, ci, cie].set(u_upd[:, ci, cie])
-    v = v.at[:, cie, ci].set(v_upd[:, cie, ci])
+    u = su.upd_point(u, u_upd, ci, cie)
+    v = su.upd_point(v, v_upd, cie, ci)
 
     return dict(
         delp=delp, pt=pt, u=u, v=v, w=w, q_con=q_con, divgd=divgd,

@@ -16,6 +16,7 @@ from pace_tpu.ops import corners as corner_ops
 from pace_tpu.ops.a2b_ord4 import a2b_ord4
 from pace_tpu.ops.d2a2c import contravariant
 from pace_tpu.ops.stencil_utils import shift
+from pace_tpu.ops import stencil_utils as su
 
 
 def _damp_tmp(q, da_min_c, d2_bg, dddmp):
@@ -63,7 +64,7 @@ def divergence_damping(
         )
         edge = jnp.where(vc > 0.0, u * shift(sin4, 0, -1), u * sin2)
         for j in (h, h + n):
-            u_contra = u_contra.at[:, :, j].set(edge[:, :, j])
+            u_contra = su.upd_rows(u_contra, edge, j)
         u_contra_dyc = u_contra * hz.dyc[..., None]
 
         uc_from_ua = 0.5 * (shift(ua, -1) + ua)
@@ -72,7 +73,7 @@ def divergence_damping(
         )
         edge = jnp.where(uc > 0.0, v * shift(sin3, -1), v * sin1)
         for i in (h, h + n):
-            v_contra = v_contra.at[:, i].set(edge[:, i])
+            v_contra = su.upd_cols(v_contra, edge, i)
         v_contra_dxc = v_contra * hz.dxc[..., None]
 
         delpc = (
@@ -81,10 +82,10 @@ def divergence_damping(
         )
         minus = delpc - shift(v_contra_dxc, 0, -1)
         for ci, cj in ((h, h), (h + n, h)):
-            delpc = delpc.at[:, ci, cj].set(minus[:, ci, cj])
+            delpc = su.upd_point(delpc, minus, ci, cj)
         plus = delpc + v_contra_dxc
         for ci, cj in ((h, h + n), (h + n, h + n)):
-            delpc = delpc.at[:, ci, cj].set(plus[:, ci, cj])
+            delpc = su.upd_point(delpc, plus, ci, cj)
         delpc = rarea_c * delpc
 
         damp = _damp_tmp(delpc * dt, da_min_c, d2_bg, dddmp)
@@ -126,10 +127,10 @@ def divergence_damping(
         new_divg = shift(uc_i, 0, -1) - uc_i + shift(vc_i, -1) - vc_i
         minus = new_divg - shift(uc_i, 0, -1)
         for ci, cj in ((h, h), (h + n, h)):
-            new_divg = new_divg.at[:, ci, cj].set(minus[:, ci, cj])
+            new_divg = su.upd_point(new_divg, minus, ci, cj)
         plus = new_divg + uc_i
         for ci, cj in ((h, h + n), (h + n, h + n)):
-            new_divg = new_divg.at[:, ci, cj].set(plus[:, ci, cj])
+            new_divg = su.upd_point(new_divg, plus, ci, cj)
         if not stretched_grid:
             new_divg = new_divg * rarea_c
         divg_d = jnp.where(high_mask, new_divg * s_damp, divg_d)

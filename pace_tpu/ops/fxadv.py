@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from pace_tpu.ops.d2a2c import contravariant
 from pace_tpu.ops.stencil_utils import shift
+from pace_tpu.ops import stencil_utils as su
 
 
 def fx_adv(uc, vc, ut_in, vt_in, gd, n, h, dt):
@@ -32,7 +33,7 @@ def fx_adv(uc, vc, ut_in, vt_in, gd, n, h, dt):
     ut = contravariant(uc, v_at_u, cosa_u, rsin_u)
     # restore incoming values on the rows adjacent to south/north tile edges
     for j in (h - 1, h, h + n - 1, h + n):
-        ut = ut.at[:, :, j].set(ut_in[:, :, j])
+        ut = su.upd_rows(ut, ut_in, j)
     u_at_v = 0.25 * (shift(uc, 0, -1) + shift(uc, 1, -1) + uc + shift(uc, 1))
     vt = contravariant(vc, u_at_v, cosa_v, rsin_v)
 
@@ -40,7 +41,7 @@ def fx_adv(uc, vc, ut_in, vt_in, gd, n, h, dt):
     # uc y-edges (west/east interface columns)
     edge = jnp.where(uc > 0.0, uc / shift(sin3, -1), uc / sin1)
     for i in (h, h + n):
-        ut = ut.at[:, i].set(edge[:, i])
+        ut = su.upd_cols(ut, edge, i)
     # vc near west/east edges, excluding rows near south/north edges
     vt_snapshot = vt
     u_contra_avg = 0.25 * (
@@ -53,11 +54,11 @@ def fx_adv(uc, vc, ut_in, vt_in, gd, n, h, dt):
             vt_edge[:, i, slice(h, h + n + 1)]
         )
         for j in (h, h + 1, h + n - 1, h + n):
-            vt = vt.at[:, i, j].set(vt_snapshot[:, i, j])
+            vt = su.upd_point(vt, vt_snapshot, i, j)
     # vc x-edges (south/north interface rows)
     edge = jnp.where(vc > 0.0, vc / shift(sin4, 0, -1), vc / sin2)
     for j in (h, h + n):
-        vt = vt.at[:, :, j].set(edge[:, :, j])
+        vt = su.upd_rows(vt, edge, j)
     # uc near south/north edges
     ut_snapshot = ut
     v_contra_avg = 0.25 * (
@@ -69,7 +70,7 @@ def fx_adv(uc, vc, ut_in, vt_in, gd, n, h, dt):
             ut_edge[:, slice(h, h + n + 1), j]
         )
         for i in (h, h + 1, h + n - 1, h + n):
-            ut = ut.at[:, i, j].set(ut_snapshot[:, i, j])
+            ut = su.upd_point(ut, ut_snapshot, i, j)
 
     # --- corner 2x2 system solves -------------------------------------------
     ut_c = ut  # snapshot read by the corner formulas
@@ -77,7 +78,7 @@ def fx_adv(uc, vc, ut_in, vt_in, gd, n, h, dt):
 
     def setc(arr, expr, points):
         for (ci, cj) in points:
-            arr = arr.at[:, ci, cj].set(expr[:, ci, cj])
+            arr = su.upd_point(arr, expr, ci, cj)
         return arr
 
     damp = 1.0 / (1.0 - 0.0625 * cosa_u * shift(cosa_v, -1))

@@ -48,9 +48,58 @@ def _shift_axis(q, d, axis):
         return jnp.concatenate([jnp.tile(edge, reps), body], axis=axis)
 
 
+def _start_and_slicer(idx):
+    """Normalize a static int or slice into (start, slicer)."""
+    if isinstance(idx, slice):
+        return (idx.start or 0), idx
+    return idx, slice(idx, idx + 1)
+
+
+def upd_cols(dest: jnp.ndarray, expr: jnp.ndarray, *cols) -> jnp.ndarray:
+    """dest[:, i] = expr[:, i] for static columns i (int or slice).
+
+    Uses lax.dynamic_update_slice instead of .at[].set: .at[].set lowers
+    to stablehlo.scatter, which is unsupported in Pallas TPU kernels and
+    is fragile under the SPMD partitioner (docs/KNOWN_ISSUES.md); DUS
+    lowers to a plain in-place slice write."""
+    from jax import lax
+
+    zeros = (0,) * (dest.ndim - 2)
+    for i in cols:
+        i0, si = _start_and_slicer(i)
+        dest = lax.dynamic_update_slice(dest, expr[:, si], (0, i0) + zeros)
+    return dest
+
+
+def upd_rows(dest: jnp.ndarray, expr: jnp.ndarray, *rows) -> jnp.ndarray:
+    """dest[:, :, j] = expr[:, :, j] for static rows j (DUS form)."""
+    from jax import lax
+
+    zeros = (0,) * (dest.ndim - 3)
+    for j in rows:
+        j0, sj = _start_and_slicer(j)
+        dest = lax.dynamic_update_slice(
+            dest, expr[:, :, sj], (0, 0, j0) + zeros
+        )
+    return dest
+
+
+def upd_point(dest: jnp.ndarray, expr: jnp.ndarray, i, j) -> jnp.ndarray:
+    """dest[:, i, j] = expr[:, i, j] for static int-or-slice (i, j)."""
+    from jax import lax
+
+    zeros = (0,) * (dest.ndim - 3)
+    i0, si = _start_and_slicer(i)
+    j0, sj = _start_and_slicer(j)
+    return lax.dynamic_update_slice(
+        dest, expr[:, si, sj], (0, i0, j0) + zeros
+    )
+
+
 def set_region(dest: jnp.ndarray, sx: slice, sy: slice,
                expr: jnp.ndarray) -> jnp.ndarray:
-    """dest[:, sx, sy] = expr[:, sx, sy] (expr is a whole-array expression)."""
+    """dest[:, sx, sy] = expr[:, sx, sy] (expr is a whole-array expression).
+    sx/sy are slices, so this lowers to dynamic_update_slice (no scatter)."""
     return dest.at[:, sx, sy].set(expr[:, sx, sy])
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from pace_tpu.ops.stencil_utils import shift, sign
+from pace_tpu.ops import stencil_utils as su
 
 # volume-conserving cubic with 2nd derivative = 0 at end point (ppm.py)
 C1 = -2.0 / 14.0
@@ -46,7 +47,7 @@ def _compute_al(q, dxa, n, h, iord):
     al = P1 * (shift(q, -1) + q) + P2 * (shift(q, -2) + shift(q, 1))
     cubic = C1 * shift(q, -2) + C2 * shift(q, -1) + C3 * q
     for i in (h - 1, h + n - 1):
-        al = al.at[:, i].set(cubic[:, i])
+        al = su.upd_cols(al, cubic, i)
     edge = 0.5 * (
         (
             (2.0 * shift(dxa, -1) + shift(dxa, -2)) * shift(q, -1)
@@ -57,10 +58,10 @@ def _compute_al(q, dxa, n, h, iord):
         ) / (dxa + shift(dxa, 1))
     )
     for i in (h, h + n):
-        al = al.at[:, i].set(edge[:, i])
+        al = su.upd_cols(al, edge, i)
     cubic_rev = C3 * shift(q, -1) + C2 * q + C1 * shift(q, 1)
     for i in (h + 1, h + n + 1):
-        al = al.at[:, i].set(cubic_rev[:, i])
+        al = su.upd_cols(al, cubic_rev, i)
     return al
 
 
@@ -135,45 +136,45 @@ def _compute_blbr_ord8plus(q, dxa, n, h, constraint_cols=None):
     xt_br = jnp.zeros_like(q)
     # i_start - 1
     e = S14 * dm_left + S11 * (shift(q, -1) - q) + q
-    xt_bl = xt_bl.at[:, h - 1].set(e[:, h - 1])
+    xt_bl = su.upd_cols(xt_bl, e, h - 1)
     e = _xt_dxa_edge_0(q, dxa)
-    xt_br = xt_br.at[:, h - 1].set(e[:, h - 1])
+    xt_br = su.upd_cols(xt_br, e, h - 1)
     # i_start
     e = _xt_dxa_edge_1(q, dxa)
-    xt_bl = xt_bl.at[:, h].set(e[:, h])
+    xt_bl = su.upd_cols(xt_bl, e, h)
     e = S15 * q + S11 * shift(q, 1) - S14 * dm_right
-    xt_br = xt_br.at[:, h].set(e[:, h])
+    xt_br = su.upd_cols(xt_br, e, h)
     # i_start + 1
     e = S15 * shift(q, -1) + S11 * q - S14 * dm
-    xt_bl = xt_bl.at[:, h + 1].set(e[:, h + 1])
-    xt_br = xt_br.at[:, h + 1].set(al_ip1[:, h + 1])
+    xt_bl = su.upd_cols(xt_bl, e, h + 1)
+    xt_br = su.upd_cols(xt_br, al_ip1, h + 1)
     # i_end - 1
-    xt_bl = xt_bl.at[:, h + n - 2].set(al[:, h + n - 2])
+    xt_bl = su.upd_cols(xt_bl, al, h + n - 2)
     e = S15 * shift(q, 1) + S11 * q + S14 * dm
-    xt_br = xt_br.at[:, h + n - 2].set(e[:, h + n - 2])
+    xt_br = su.upd_cols(xt_br, e, h + n - 2)
     # i_end
     e = S15 * q + S11 * shift(q, -1) + S14 * dm_left
-    xt_bl = xt_bl.at[:, h + n - 1].set(e[:, h + n - 1])
+    xt_bl = su.upd_cols(xt_bl, e, h + n - 1)
     e = _xt_dxa_edge_0(q, dxa)
-    xt_br = xt_br.at[:, h + n - 1].set(e[:, h + n - 1])
+    xt_br = su.upd_cols(xt_br, e, h + n - 1)
     # i_end + 1
     e = _xt_dxa_edge_1(q, dxa)
-    xt_bl = xt_bl.at[:, h + n].set(e[:, h + n])
+    xt_bl = su.upd_cols(xt_bl, e, h + n)
     e = S11 * (shift(q, 1) - q) - S14 * dm_right + q
-    xt_br = xt_br.at[:, h + n].set(e[:, h + n])
+    xt_br = su.upd_cols(xt_br, e, h + n)
 
     edge_cols = (h - 1, h, h + 1, h + n - 2, h + n - 1, h + n)
     bl_e = xt_bl - q
     br_e = xt_br - q
     for i in edge_cols:
-        bl = bl.at[:, i].set(bl_e[:, i])
-        br = br.at[:, i].set(br_e[:, i])
+        bl = su.upd_cols(bl, bl_e, i)
+        br = su.upd_cols(br, br_e, i)
     if constraint_cols is None:
         constraint_cols = edge_cols
     bl_c, br_c = pert_ppm_standard_constraint(q, bl, br)
     for i in constraint_cols:
-        bl = bl.at[:, i].set(bl_c[:, i])
-        br = br.at[:, i].set(br_c[:, i])
+        bl = su.upd_cols(bl, bl_c, i)
+        br = su.upd_cols(br, br_c, i)
     return bl, br
 
 
