@@ -40,8 +40,15 @@ def halo_update_scalar(q: jnp.ndarray, spec: HaloSpec) -> jnp.ndarray:
     Uses the packed strip form (only halo points move) — the dycore is
     HBM-bound, so not rewriting the interior matters."""
     if USE_PACKED_HALO and spec.packed is not None:
-        tt, ti, tj, st, si, sj = spec.packed
-        return q.at[tt, ti, tj].set(q[st, si, sj])
+        from jax import lax
+
+        zeros = (0,) * (q.ndim - 3)
+        out = q
+        for i0, j0, st, si, sj in spec.packed:
+            out = lax.dynamic_update_slice(
+                out, q[st, si, sj], (0, i0, j0) + zeros
+            )
+        return out
     return q[spec.src_tile, spec.src_i, spec.src_j]
 
 
@@ -75,15 +82,24 @@ def halo_update_vector(
 def _vector_gather(u, v, spec: HaloSpec, apply_sign: bool = True):
     ndim_extra = u.ndim - 3
     if USE_PACKED_HALO and spec.packed is not None:
-        # scatter only the changing points into the own-component array
-        tt, ti, tj, st, si, sj, comp, sign = spec.packed
+        # strip-gather + slice-write into the own-component array
+        from jax import lax
+
         own = u if spec.kind.startswith(("vector0", "ifsync0")) else v
-        from_u = u[st, si, sj]
-        from_v = v[st, si, sj]
-        vals = jnp.where(_expand(comp == 0, ndim_extra), from_u, from_v)
-        if apply_sign:
-            vals = _expand(sign, ndim_extra).astype(u.dtype) * vals
-        return own.at[tt, ti, tj].set(vals)
+        zeros = (0,) * (u.ndim - 3)
+        out = own
+        for i0, j0, st, si, sj, comp, sign in spec.packed:
+            from_u = u[st, si, sj]
+            from_v = v[st, si, sj]
+            vals = jnp.where(
+                _expand(comp == 0, ndim_extra), from_u, from_v
+            )
+            if apply_sign:
+                vals = _expand(sign, ndim_extra).astype(u.dtype) * vals
+            out = lax.dynamic_update_slice(
+                out, vals, (0, i0, j0) + zeros
+            )
+        return out
     from_u = u[spec.src_tile, spec.src_i, spec.src_j]
     from_v = v[spec.src_tile, spec.src_i, spec.src_j]
     comp = _expand(spec.src_comp, ndim_extra)

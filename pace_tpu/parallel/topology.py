@@ -236,7 +236,14 @@ class HaloSpec:
 
 
 def _pack_spec(spec: HaloSpec, own_comp=None) -> HaloSpec:
-    """Compress a full-array map to the changing points only."""
+    """Compress a full-array map into rectangular halo strips.
+
+    Each strip is a (row-band or column-band) rectangle covering all the
+    changing points; the update becomes `gather strip values + one
+    dynamic_update_slice` per strip — no scatter (XLA SPMD mispartitions
+    scatters; Pallas rejects them) and only strip-sized traffic.  Wedge
+    and padding points inside a strip map to themselves (harmless
+    self-copy)."""
     st = np.asarray(spec.src_tile)
     si = np.asarray(spec.src_i)
     sj = np.asarray(spec.src_j)
@@ -250,12 +257,44 @@ def _pack_spec(spec: HaloSpec, own_comp=None) -> HaloSpec:
         changes |= np.asarray(spec.sign) != 1.0
     if spec.valid is not None:
         changes &= np.asarray(spec.valid)
-    idx = np.nonzero(changes)
-    packed = [T[idx].astype(np.int32), I[idx].astype(np.int32),
-              J[idx].astype(np.int32), st[idx], si[idx], sj[idx]]
-    if spec.src_comp is not None:
-        packed.append(np.asarray(spec.src_comp)[idx])
-        packed.append(np.asarray(spec.sign)[idx])
+    if not changes.any():
+        return dataclasses.replace(spec, packed=())
+
+    rows_changed = np.where(changes.any(axis=(0, 2)))[0]
+    cols_changed = np.where(changes.any(axis=(0, 1)))[0]
+
+    def bands(idx, N):
+        """Contiguous index ranges [lo, hi)."""
+        out = []
+        if idx.size == 0:
+            return out
+        lo = prev = idx[0]
+        for v in idx[1:]:
+            if v != prev + 1:
+                out.append((lo, prev + 1))
+                lo = v
+            prev = v
+        out.append((lo, prev + 1))
+        return out
+
+    strips = []
+    covered = np.zeros_like(changes)
+    for lo, hi in bands(rows_changed, N):
+        strips.append((lo, 0, (slice(lo, hi), slice(0, N))))
+        covered[:, lo:hi, :] = True
+    for lo, hi in bands(cols_changed, N):
+        strips.append((0, lo, (slice(0, N), slice(lo, hi))))
+        covered[:, :, lo:hi] = True
+    assert bool((covered | ~changes).all()), "strips must cover all changes"
+
+    packed = []
+    for i0, j0, (srow, scol) in strips:
+        entry = [int(i0), int(j0),
+                 st[:, srow, scol], si[:, srow, scol], sj[:, srow, scol]]
+        if spec.src_comp is not None:
+            entry.append(np.asarray(spec.src_comp)[:, srow, scol])
+            entry.append(np.asarray(spec.sign)[:, srow, scol])
+        packed.append(tuple(entry))
     return dataclasses.replace(spec, packed=tuple(packed))
 
 
