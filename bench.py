@@ -15,6 +15,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _sync(arr):
+    """Force completion: on the axon-tunneled TPU platform,
+    jax.block_until_ready returns before execution finishes, so a
+    device->host transfer is the only reliable fence."""
+    import numpy as np
+    import jax
+
+    np.asarray(jax.device_get(arr.ravel()[0]))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -37,13 +47,13 @@ def main():
     step = jax.jit(core.step_dynamics)
     # compile + warmup
     state = step(state)
-    jax.block_until_ready(state.delp)
+    _sync(state.delp)
 
     n_steps = int(os.environ.get("PACE_BENCH_STEPS", "10"))
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state = step(state)
-    jax.block_until_ready(state.delp)
+    _sync(state.delp)
     elapsed = time.perf_counter() - t0
     per_step = elapsed / n_steps
     simulated_days_per_day = dt_atmos / per_step

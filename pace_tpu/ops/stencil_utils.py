@@ -48,63 +48,57 @@ def _shift_axis(q, d, axis):
         return jnp.concatenate([jnp.tile(edge, reps), body], axis=axis)
 
 
-def _start_and_slicer(idx):
-    """Normalize a static int or slice into (start, slicer)."""
-    if isinstance(idx, slice):
-        return (idx.start or 0), idx
-    return idx, slice(idx, idx + 1)
+def _axis_mask(dest: jnp.ndarray, axis: int, idxs) -> jnp.ndarray:
+    """Trace-time-constant boolean mask selecting static ints/slices along
+    one axis, shaped to broadcast against `dest`."""
+    import numpy as np
+
+    m = np.zeros((dest.shape[axis],), bool)
+    for i in idxs:
+        m[i] = True
+    shape = [1] * dest.ndim
+    shape[axis] = dest.shape[axis]
+    return jnp.asarray(m.reshape(shape))
 
 
 def upd_cols(dest: jnp.ndarray, expr: jnp.ndarray, *cols) -> jnp.ndarray:
     """dest[:, i] = expr[:, i] for static columns i (int or slice).
 
-    Uses lax.dynamic_update_slice instead of .at[].set: .at[].set lowers
-    to stablehlo.scatter, which is unsupported in Pallas TPU kernels and
-    is fragile under the SPMD partitioner (docs/KNOWN_ISSUES.md); DUS
-    lowers to a plain in-place slice write."""
-    from jax import lax
-
-    zeros = (0,) * (dest.ndim - 2)
-    for i in cols:
-        i0, si = _start_and_slicer(i)
-        dest = lax.dynamic_update_slice(dest, expr[:, si], (0, i0) + zeros)
-    return dest
+    Implemented as a masked select with a trace-time-constant mask: a
+    `where` fuses into the surrounding elementwise XLA computation,
+    whereas dynamic_update_slice (the previous form) materializes the
+    full array per update — ~20 chained updates in the PPM edge handling
+    made each stencil HBM-bound on its own intermediates.  `where` is
+    also safe under the SPMD partitioner (docs/KNOWN_ISSUES.md covers
+    why scatter is not)."""
+    return jnp.where(_axis_mask(dest, 1, cols), expr, dest)
 
 
 def upd_rows(dest: jnp.ndarray, expr: jnp.ndarray, *rows) -> jnp.ndarray:
-    """dest[:, :, j] = expr[:, :, j] for static rows j (DUS form)."""
-    from jax import lax
-
-    zeros = (0,) * (dest.ndim - 3)
-    for j in rows:
-        j0, sj = _start_and_slicer(j)
-        dest = lax.dynamic_update_slice(
-            dest, expr[:, :, sj], (0, 0, j0) + zeros
-        )
-    return dest
+    """dest[:, :, j] = expr[:, :, j] for static rows j (masked-select form)."""
+    return jnp.where(_axis_mask(dest, 2, rows), expr, dest)
 
 
 def upd_point(dest: jnp.ndarray, expr: jnp.ndarray, i, j) -> jnp.ndarray:
     """dest[:, i, j] = expr[:, i, j] for static int-or-slice (i, j)."""
-    from jax import lax
-
-    zeros = (0,) * (dest.ndim - 3)
-    i0, si = _start_and_slicer(i)
-    j0, sj = _start_and_slicer(j)
-    return lax.dynamic_update_slice(
-        dest, expr[:, si, sj], (0, i0, j0) + zeros
+    mask = jnp.logical_and(
+        _axis_mask(dest, 1, (i,)), _axis_mask(dest, 2, (j,))
     )
+    return jnp.where(mask, expr, dest)
 
 
 def set_region(dest: jnp.ndarray, sx: slice, sy: slice,
                expr: jnp.ndarray) -> jnp.ndarray:
-    """dest[:, sx, sy] = expr[:, sx, sy] (expr is a whole-array expression).
-    sx/sy are slices, so this lowers to dynamic_update_slice (no scatter)."""
-    return dest.at[:, sx, sy].set(expr[:, sx, sy])
+    """dest[:, sx, sy] = expr[:, sx, sy] (expr is a whole-array expression)."""
+    return upd_point(dest, expr, sx, sy)
 
 
 def region_add(dest, sx, sy, expr):
-    return dest.at[:, sx, sy].add(expr[:, sx, sy])
+    """dest[:, sx, sy] += expr[:, sx, sy] (masked-select form)."""
+    mask = jnp.logical_and(
+        _axis_mask(dest, 1, (sx,)), _axis_mask(dest, 2, (sy,))
+    )
+    return jnp.where(mask, dest + expr, dest)
 
 
 def sign(a, b):
