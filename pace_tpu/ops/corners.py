@@ -69,10 +69,34 @@ def _copy_corners_table(n: int, h: int, direction: str):
     return _as_index_arrays(pairs)
 
 
+def _as_permutation(N: int, table):
+    """Expand a sparse (target <- source) table into full (N, N) gather maps
+    (identity outside the wedges).  A single whole-array gather is faster on
+    TPU than gather+scatter, and scatter-free graphs are SPMD-safe
+    (docs/KNOWN_ISSUES.md)."""
+    ti, tj, si, sj = table
+    SI, SJ = np.meshgrid(
+        np.arange(N, dtype=np.int32), np.arange(N, dtype=np.int32),
+        indexing="ij",
+    )
+    SI = SI.copy()
+    SJ = SJ.copy()
+    SI[ti, tj] = si
+    SJ[ti, tj] = sj
+    return SI, SJ
+
+
+@functools.lru_cache(maxsize=None)
+def copy_corners_perm(n: int, h: int, N: int, direction: str):
+    """Full (N, N) permutation maps for copy_corners (for composing with
+    halo-exchange gathers)."""
+    return _as_permutation(N, _copy_corners_table(n, h, direction))
+
+
 def copy_corners(q: jnp.ndarray, n: int, h: int, direction: str) -> jnp.ndarray:
     """Fortran copy_corners_x / copy_corners_y on a (6, N, N, ...) field."""
-    ti, tj, si, sj = _copy_corners_table(n, h, direction)
-    return q.at[:, ti, tj].set(q[:, si, sj])
+    SI, SJ = copy_corners_perm(n, h, q.shape[1], direction)
+    return q[:, SI, SJ]
 
 
 def copy_corners_xy(q: jnp.ndarray, n: int, h: int):
@@ -114,10 +138,16 @@ def _fill_corners_2d_table(n: int, h: int, gridtype: str, direction: str):
     return _as_index_arrays(pairs)
 
 
+@functools.lru_cache(maxsize=None)
+def _fill_corners_2d_perm(n: int, h: int, N: int, gridtype: str,
+                          direction: str):
+    return _as_permutation(N, _fill_corners_2d_table(n, h, gridtype, direction))
+
+
 def fill_corners_2d(q: jnp.ndarray, n: int, h: int, gridtype: str,
                     direction: str = "x") -> jnp.ndarray:
-    ti, tj, si, sj = _fill_corners_2d_table(n, h, gridtype, direction)
-    return q.at[:, ti, tj].set(q[:, si, sj])
+    SI, SJ = _fill_corners_2d_perm(n, h, q.shape[1], gridtype, direction)
+    return q[:, SI, SJ]
 
 
 @functools.lru_cache(maxsize=None)

@@ -32,6 +32,8 @@ def fv_tp_2d(
     x_mass_flux=None,
     y_mass_flux=None,
     mass=None,
+    q_y=None,
+    q_x=None,
 ):
     """Compute transport fluxes (q_x_flux, q_y_flux) of q.
 
@@ -42,6 +44,9 @@ def fv_tp_2d(
         hord: PPM order (ord_inner = 8 if hord == 10 else hord)
         nord_col/damp_c_col: optional (nz,) damping columns (fused DelnFlux)
         x_mass_flux/y_mass_flux: if given, the output flux units are q*mass
+        q_y/q_x: optionally precomputed corner copies (copy_corners(q, "y")
+            and copy_corners(copy_corners(q, "y"), "x")) — the tracer path
+            fuses these into its halo-exchange gathers
     """
     area = gd.horizontal.area[..., None]
     dxa = gd.horizontal.dxa[..., None]
@@ -52,7 +57,8 @@ def fv_tp_2d(
     x_unit_flux = x_area_flux if x_mass_flux is None else x_mass_flux
     y_unit_flux = y_area_flux if y_mass_flux is None else y_mass_flux
 
-    q_y = corner_ops.copy_corners(q, n, h, "y")
+    if q_y is None:
+        q_y = corner_ops.copy_corners(q, n, h, "y")
     q_y_advected_mean = y_flux(q_y, cry, dya, n, h, ord_inner)
     fyy = y_area_flux * q_y_advected_mean
     q_advected_y = (q_y * area + fyy - shift(fyy, 0, 1)) / (
@@ -62,7 +68,8 @@ def fv_tp_2d(
         q_advected_y, crx, dxa, n, h, ord_outer
     )
 
-    q_x = corner_ops.copy_corners(q_y, n, h, "x")
+    if q_x is None:
+        q_x = corner_ops.copy_corners(q_y, n, h, "x")
     q_x_advected_mean = x_flux(q_x, crx, dxa, n, h, ord_inner)
     fx1 = x_area_flux * q_x_advected_mean
     q_advected_x = (q_x * area + fx1 - shift(fx1, 1)) / (

@@ -14,8 +14,18 @@ import jax
 import jax.numpy as jnp
 
 from pace_tpu.ops.fvtp2d import fv_tp_2d
-from pace_tpu.ops.stencil_utils import shift
+from pace_tpu.ops.stencil_utils import shift, _shift_axis
 from pace_tpu.parallel import halo as halo_mod
+
+
+def shift_b(q, di: int = 0, dj: int = 0):
+    """shift() for tracer stacks (T, 6, N, N, nz): i, j are axes 2, 3."""
+    out = q
+    if di:
+        out = _shift_axis(out, di, 2)
+    if dj:
+        out = _shift_axis(out, dj, 3)
+    return out
 
 
 def tracer_advection(
@@ -55,25 +65,37 @@ def tracer_advection(
     yfx = yfx * frac
     y_mass_flux = y_mass_flux * frac
 
-    center = topo.scalar_spec("center")
     names = list(tracers.keys())
-    # keep the tracers STACKED through all substeps: one batched halo
-    # gather and one batched transport graph instead of per-tracer ops
-    # (the dycore is HBM-bound; 8x fewer gather kernels per exchange)
+    # keep the tracers STACKED through all substeps: batched gathers and one
+    # batched transport graph instead of per-tracer ops (the dycore is
+    # HBM-bound; 8x fewer gather kernels per exchange).  The halo exchange
+    # and the two FvTp2d corner copies are composed into two independent
+    # gathers (topology.scalar_corner_specs) — the transport never needs the
+    # bare halo-updated field, only its corner-copied variants, and q_y
+    # equals it everywhere outside the corner wedges.
+    spec_y, spec_x = topo.scalar_corner_specs()
     stacked = jnp.stack([tracers[name] for name in names])
-    batched_halo = jax.vmap(
-        lambda q: halo_mod.halo_update_scalar(q, center)
-    )
-    stacked = batched_halo(stacked)
+    gather_y = jax.vmap(lambda q: halo_mod.halo_update_scalar(q, spec_y))
+    gather_x = jax.vmap(lambda q: halo_mod.halo_update_scalar(q, spec_x))
 
-    def transport_one(q, dp1_, dp2_):
-        fx, fy = fv_tp_2d(
-            q, x_courant, y_courant, xfx, yfx, gd, n, h, hord_tr,
-            x_mass_flux=x_mass_flux, y_mass_flux=y_mass_flux,
-        )
-        return (
-            q * dp1_ + (fx - shift(fx, 1) + fy - shift(fy, 0, 1)) * rarea
-        ) / dp2_
+    from pace_tpu.ops.pallas import fvtp2d_pallas
+
+    use_pallas = fvtp2d_pallas.enabled()
+
+    def transport_fluxes(qy8, qx8):
+        if use_pallas:
+            return fvtp2d_pallas.transport_batched(
+                qy8, qx8, x_courant, y_courant, xfx, yfx,
+                x_mass_flux, y_mass_flux,
+                hz.dxa, hz.dya, hz.area, n, h, hord_tr,
+            )
+        return jax.vmap(
+            lambda q_y, q_x: fv_tp_2d(
+                q_y, x_courant, y_courant, xfx, yfx, gd, n, h, hord_tr,
+                x_mass_flux=x_mass_flux, y_mass_flux=y_mass_flux,
+                q_y=q_y, q_x=q_x,
+            )
+        )(qy8, qx8)
 
     for it in range(n_split):
         last_call = it == n_split - 1
@@ -81,10 +103,12 @@ def tracer_advection(
             x_mass_flux - shift(x_mass_flux, 1)
             + y_mass_flux - shift(y_mass_flux, 0, 1)
         ) * rarea
-        stacked = jax.vmap(transport_one, in_axes=(0, None, None))(
-            stacked, dp1, dp2
-        )
+        qy8 = gather_y(stacked)
+        fx8, fy8 = transport_fluxes(qy8, gather_x(stacked))
+        stacked = (
+            qy8 * dp1
+            + (fx8 - shift_b(fx8, 1) + fy8 - shift_b(fy8, 0, 1)) * rarea
+        ) / dp2
         if not last_call:
-            stacked = batched_halo(stacked)
             dp1 = dp2
     return {name: stacked[i] for i, name in enumerate(names)}

@@ -33,7 +33,10 @@ S15 = 3.0 / 14.0
 
 
 def _ax_ops(axis: int):
-    """(shift-along-axis, update-static-lines-along-axis) helper pair."""
+    """(shift-along-axis, update-static-lines-along-axis) helper pair for
+    the global (6, N, N, ...) layout.  The PPM math below is written against
+    this injected pair so Pallas kernels can run the identical code on
+    VMEM-resident blocks by passing their own (sh, upd)."""
     if axis == 1:
         return (lambda q, d: shift(q, d)), su.upd_cols
     return (lambda q, d: shift(q, 0, d)), su.upd_rows
@@ -51,10 +54,9 @@ def pert_ppm_standard_constraint(a0, al, ar):
     return al_out, ar_out
 
 
-def _compute_al(q, dxa, n, h, iord, axis):
+def _compute_al(q, dxa, n, h, iord, sh, upd):
     """PPM interface value; tile-edge one-sided variants at the 6 special
     interface lines (xppm.py compute_al)."""
-    sh, upd = _ax_ops(axis)
     al = P1 * (sh(q, -1) + q) + P2 * (sh(q, -2) + sh(q, 1))
     cubic = C1 * sh(q, -2) + C2 * sh(q, -1) + C3 * q
     for i in (h - 1, h + n - 1):
@@ -76,8 +78,7 @@ def _compute_al(q, dxa, n, h, iord, axis):
     return al
 
 
-def _fx1_fn(courant, br, b0, bl, axis):
-    sh, _ = _ax_ops(axis)
+def _fx1_fn(courant, br, b0, bl, sh):
     return jnp.where(
         courant > 0.0,
         (1.0 - courant) * (sh(br, -1) - courant * sh(b0, -1)),
@@ -85,16 +86,14 @@ def _fx1_fn(courant, br, b0, bl, axis):
     )
 
 
-def _dm_iord8plus(q, axis):
-    sh, _ = _ax_ops(axis)
+def _dm_iord8plus(q, sh):
     xt = 0.25 * (sh(q, 1) - sh(q, -1))
     dqr = jnp.maximum(jnp.maximum(q, sh(q, -1)), sh(q, 1)) - q
     dql = q - jnp.minimum(jnp.minimum(q, sh(q, -1)), sh(q, 1))
     return sign(jnp.minimum(jnp.minimum(jnp.abs(xt), dqr), dql), xt)
 
 
-def _xt_dxa_edge_0(q, dxa, axis, xt_minmax=True):
-    sh, _ = _ax_ops(axis)
+def _xt_dxa_edge_0(q, dxa, sh, xt_minmax=True):
     xt = 0.5 * (
         ((2.0 * dxa + sh(dxa, -1)) * q - dxa * sh(q, -1))
         / (sh(dxa, -1) + dxa)
@@ -114,8 +113,7 @@ def _xt_dxa_edge_0(q, dxa, axis, xt_minmax=True):
     return xt
 
 
-def _xt_dxa_edge_1(q, dxa, axis, xt_minmax=True):
-    sh, _ = _ax_ops(axis)
+def _xt_dxa_edge_1(q, dxa, sh, xt_minmax=True):
     xt = 0.5 * (
         (
             (2.0 * sh(dxa, -1) + sh(dxa, -2)) * sh(q, -1)
@@ -135,17 +133,16 @@ def _xt_dxa_edge_1(q, dxa, axis, xt_minmax=True):
     return xt
 
 
-def _compute_blbr_ord8plus(q, dxa, n, h, axis, constraint_cols=None):
-    sh, upd = _ax_ops(axis)
-    dm = _dm_iord8plus(q, axis)
+def _compute_blbr_ord8plus(q, dxa, n, h, sh, upd, constraint_cols=None):
+    dm = _dm_iord8plus(q, sh)
     al = 0.5 * (sh(q, -1) + q) + (1.0 / 3.0) * (sh(dm, -1) - dm)
     xt2 = 2.0 * dm
     bl = -1.0 * sign(jnp.minimum(jnp.abs(xt2), jnp.abs(al - q)), xt2)
     br = sign(jnp.minimum(jnp.abs(xt2), jnp.abs(sh(al, 1) - q)), xt2)
 
     # edge overrides (xppm.py bl_br_edges)
-    dm_left = _dm_iord8plus(sh(q, -1), axis)
-    dm_right = _dm_iord8plus(sh(q, 1), axis)
+    dm_left = _dm_iord8plus(sh(q, -1), sh)
+    dm_right = _dm_iord8plus(sh(q, 1), sh)
     al_ip1 = sh(al, 1)
 
     xt_bl = jnp.zeros_like(q)
@@ -153,10 +150,10 @@ def _compute_blbr_ord8plus(q, dxa, n, h, axis, constraint_cols=None):
     # i_start - 1
     e = S14 * dm_left + S11 * (sh(q, -1) - q) + q
     xt_bl = upd(xt_bl, e, h - 1)
-    e = _xt_dxa_edge_0(q, dxa, axis)
+    e = _xt_dxa_edge_0(q, dxa, sh)
     xt_br = upd(xt_br, e, h - 1)
     # i_start
-    e = _xt_dxa_edge_1(q, dxa, axis)
+    e = _xt_dxa_edge_1(q, dxa, sh)
     xt_bl = upd(xt_bl, e, h)
     e = S15 * q + S11 * sh(q, 1) - S14 * dm_right
     xt_br = upd(xt_br, e, h)
@@ -171,10 +168,10 @@ def _compute_blbr_ord8plus(q, dxa, n, h, axis, constraint_cols=None):
     # i_end
     e = S15 * q + S11 * sh(q, -1) + S14 * dm_left
     xt_bl = upd(xt_bl, e, h + n - 1)
-    e = _xt_dxa_edge_0(q, dxa, axis)
+    e = _xt_dxa_edge_0(q, dxa, sh)
     xt_br = upd(xt_br, e, h + n - 1)
     # i_end + 1
-    e = _xt_dxa_edge_1(q, dxa, axis)
+    e = _xt_dxa_edge_1(q, dxa, sh)
     xt_bl = upd(xt_bl, e, h + n)
     e = S11 * (sh(q, 1) - q) - S14 * dm_right + q
     xt_br = upd(xt_br, e, h + n)
@@ -194,11 +191,10 @@ def _compute_blbr_ord8plus(q, dxa, n, h, axis, constraint_cols=None):
     return bl, br
 
 
-def _flux_along(q, courant, dgrid, n, h, ord_, axis):
+def _flux_core(q, courant, dgrid, n, h, ord_, sh, upd):
     mord = abs(ord_)
-    sh, _ = _ax_ops(axis)
     if mord < 8:
-        al = _compute_al(q, dgrid, n, h, ord_, axis)
+        al = _compute_al(q, dgrid, n, h, ord_, sh, upd)
         bl = al - q
         br = sh(al, 1) - q
         b0 = bl + br
@@ -207,14 +203,14 @@ def _flux_along(q, courant, dgrid, n, h, ord_, axis):
         else:
             smt5 = (3.0 * jnp.abs(b0)) < jnp.abs(bl - br)
         mask = jnp.where(jnp.logical_or(sh(smt5, -1), smt5), 1.0, 0.0)
-        fx1 = _fx1_fn(courant, br, b0, bl, axis)
+        fx1 = _fx1_fn(courant, br, b0, bl, sh)
         return jnp.where(
             courant > 0.0, sh(q, -1) + fx1 * mask, q + fx1 * mask
         )
     else:
-        bl, br = _compute_blbr_ord8plus(q, dgrid, n, h, axis)
+        bl, br = _compute_blbr_ord8plus(q, dgrid, n, h, sh, upd)
         b0 = bl + br
-        fx1 = _fx1_fn(courant, br, b0, bl, axis)
+        fx1 = _fx1_fn(courant, br, b0, bl, sh)
         return jnp.where(courant > 0.0, sh(q, -1) + fx1, q + fx1)
 
 
@@ -224,9 +220,11 @@ def x_flux(q, courant, dxa, n, h, iord):
     Valid wherever the 4-cell stencil of q is valid; tile-edge variants are
     applied at the 6 special interface columns.
     """
-    return _flux_along(q, courant, dxa, n, h, iord, axis=1)
+    sh, upd = _ax_ops(1)
+    return _flux_core(q, courant, dxa, n, h, iord, sh, upd)
 
 
 def y_flux(q, courant, dya, n, h, jord):
     """PPM flux across y-interfaces: the x operator with the axis switched."""
-    return _flux_along(q, courant, dya, n, h, jord, axis=2)
+    sh, upd = _ax_ops(2)
+    return _flux_core(q, courant, dya, n, h, jord, sh, upd)

@@ -26,16 +26,16 @@ def _corner_zero_mask(shape, ii, jj):
 
 
 def _advect_along(w, wb_contra, rd, d, da, dt, n, h, ord_, axis):
-    sh, _ = xppm._ax_ops(axis)
+    sh, upd = xppm._ax_ops(axis)
     if abs(ord_) < 8:
-        al = xppm._compute_al(w, d, n, h, ord_, axis)
+        al = xppm._compute_al(w, d, n, h, ord_, sh, upd)
         bl = al - w
         br = sh(al, 1) - w
     else:
         # xtp_u applies the PPM constraint only on the i_start+1 and
         # i_end-1 columns (xtp_u.py get_bl_br), unlike xppm
         bl, br = xppm._compute_blbr_ord8plus(
-            w, da, n, h, axis, constraint_cols=(h + 1, h + n - 2)
+            w, da, n, h, sh, upd, constraint_cols=(h + 1, h + n - 2)
         )
     # zero corners: along-axis i in {h-1, h, h+n-1, h+n}, cross j in {h, h+n}
     ii = (h - 1, h, h + n - 1, h + n)
@@ -51,7 +51,7 @@ def _advect_along(w, wb_contra, rd, d, da, dt, n, h, ord_, axis):
     cfl = jnp.where(
         wb_contra > 0.0, wb_contra * dt * sh(rd, -1), wb_contra * dt * rd
     )
-    fx0 = xppm._fx1_fn(cfl, br, b0, bl, axis)
+    fx0 = xppm._fx1_fn(cfl, br, b0, bl, sh)
     if abs(ord_) < 8:
         if abs(ord_) == 5:
             smt5 = bl * br < 0.0

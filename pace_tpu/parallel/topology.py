@@ -328,6 +328,32 @@ class CubedSphereTopology:
             self._specs[key] = _pack_spec(self._build_scalar(stagger))
         return self._specs[key]
 
+    def scalar_corner_specs(self) -> Tuple[HaloSpec, HaloSpec]:
+        """Halo exchange composed with the FvTp2d corner copies as single
+        gather maps: (halo ∘ copy_corners_y, halo ∘ copy_corners_y ∘
+        copy_corners_x).  The transport path consumes these directly so a
+        halo-update + two corner fills costs two gathers instead of three,
+        with no serial dependency between them."""
+        key = "scalar:center+corners"
+        if key not in self._specs:
+            from pace_tpu.ops.corners import copy_corners_perm
+
+            spec = self.scalar_spec("center")
+            T = np.asarray(spec.src_tile)
+            I = np.asarray(spec.src_i)
+            J = np.asarray(spec.src_j)
+            SIy, SJy = copy_corners_perm(self.n, self.halo, self.N, "y")
+            Ty, Iy, Jy = T[:, SIy, SJy], I[:, SIy, SJy], J[:, SIy, SJy]
+            SIx, SJx = copy_corners_perm(self.n, self.halo, self.N, "x")
+            self._specs[key] = (
+                HaloSpec("scalar:center+corner_y", Ty, Iy, Jy),
+                HaloSpec(
+                    "scalar:center+corner_y+corner_x",
+                    Ty[:, SIx, SJx], Iy[:, SIx, SJx], Jy[:, SIx, SJx],
+                ),
+            )
+        return self._specs[key]
+
     def vector_spec(self, u_stagger: str, v_stagger: str) -> Tuple[HaloSpec, HaloSpec]:
         """Specs for the two components of a vector field.
 
