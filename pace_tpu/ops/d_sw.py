@@ -81,6 +81,43 @@ def _corner_ke(ke, u, v, ut, vt, dt, n, h):
     return ke
 
 
+def _make_transport(crx, cry, xfx, yfx, gd, n, h):
+    """Transport closure: on TPU, batches same-hord fields through the
+    fused Pallas fv_tp_2d kernels (ops/pallas/fvtp2d_pallas.py); the fused
+    del-n damping stays additive in XLA (deln_flux on the corner-copied
+    field), identical math to the jnp fv_tp_2d."""
+    from pace_tpu.ops import corners as corner_ops
+    from pace_tpu.ops.pallas import fvtp2d_pallas
+
+    use_pallas = fvtp2d_pallas.enabled()
+    hz = gd.horizontal
+
+    def transport(qs, hord, xmf=None, ymf=None):
+        """qs: list of fields; returns (list of (fx, fy), list of q_x)."""
+        qy = [corner_ops.copy_corners(q, n, h, "y") for q in qs]
+        qx = [corner_ops.copy_corners(q, n, h, "x") for q in qy]
+        # the fused kernels win only when the batch amortizes their
+        # launch + shared-field traffic (measured: batch-1 calls lose to
+        # the XLA-fused jnp path at C48)
+        if use_pallas and len(qs) >= 3:
+            fx8, fy8 = fvtp2d_pallas.transport_batched(
+                jnp.stack(qy), jnp.stack(qx), crx, cry, xfx, yfx,
+                xfx if xmf is None else xmf, yfx if ymf is None else ymf,
+                hz.dxa, hz.dya, hz.area, n, h, hord,
+            )
+            return [(fx8[i], fy8[i]) for i in range(len(qs))], qx
+        out = [
+            fv_tp_2d(
+                q, crx, cry, xfx, yfx, gd, n, h, hord,
+                x_mass_flux=xmf, y_mass_flux=ymf, q_y=qy_i, q_x=qx_i,
+            )
+            for q, qy_i, qx_i in zip(qs, qy, qx)
+        ]
+        return out, qx
+
+    return transport
+
+
 def d_sw(
     delp, pt, u, v, w, uc, vc, ua, va, divgd, mfx, mfy, cx, cy,
     q_con, heat_source, diss_est, ut_in, vt_in, gd, col, config, n, h, dt,
@@ -95,10 +132,12 @@ def d_sw(
     cie = slice(h, h + n + 1)
 
     crx, cry, xfx, yfx, ut, vt = fx_adv(uc, vc, ut_in, vt_in, gd, n, h, dt)
+    transport = _make_transport(crx, cry, xfx, yfx, gd, n, h)
 
-    fx, fy = fv_tp_2d(
-        delp, crx, cry, xfx, yfx, gd, n, h, config.hord_dp,
-        nord_col=col["nord_v"], damp_c_col=col["damp_vt"],
+    (fluxes, qx_list) = transport([delp], config.hord_dp)
+    fx, fy = fluxes[0]
+    fx, fy = delnflux_mod.deln_flux(
+        qx_list[0], fx, fy, gd, col["nord_v"], col["damp_vt"], n, h,
     )
 
     cx = cx + crx
@@ -123,25 +162,34 @@ def d_sw(
     heat_s = jnp.where(damp_w_mask, dd8 - dw * (w + 0.5 * dw), 0.0)
     diss_est = jnp.where(damp_w_mask, heat_s, 0.0)
 
-    # w and q_con transport (mass fluxes from the delp transport)
-    gx, gy = fv_tp_2d(
-        w, crx, cry, xfx, yfx, gd, n, h, config.hord_vt,
-        x_mass_flux=fx, y_mass_flux=fy,
-    )
+    # w, q_con, and pt transport (mass fluxes from the delp transport);
+    # same-hord fields go through one batched fused-transport graph
+    fields = [("w", w, config.hord_vt, None, None),
+              ("q_con", q_con, config.hord_dp, col["nord_t"],
+               col["damp_t"]),
+              ("pt", pt, config.hord_tm, col["nord_v"], col["damp_vt"])]
+    results = {}
+    by_hord = {}
+    for name, q, hord, nord_c, damp_c in fields:
+        by_hord.setdefault(hord, []).append((name, q, nord_c, damp_c))
+    for hord, group in by_hord.items():
+        fluxes, qx_list = transport([g[1] for g in group], hord,
+                                    xmf=fx, ymf=fy)
+        for (name, q, nord_c, damp_c), (gx, gy), qx in zip(
+                group, fluxes, qx_list):
+            if nord_c is not None:
+                gx, gy = delnflux_mod.deln_flux(
+                    qx, gx, gy, gd, nord_c, damp_c, n, h, mass=delp,
+                )
+            results[name] = (gx, gy)
+
+    gx, gy = results["w"]
     w = w * delp + flux_increment(gx, gy, rarea)
-    gx, gy = fv_tp_2d(
-        q_con, crx, cry, xfx, yfx, gd, n, h, config.hord_dp,
-        nord_col=col["nord_t"], damp_c_col=col["damp_t"],
-        mass=delp, x_mass_flux=fx, y_mass_flux=fy,
-    )
+    gx, gy = results["q_con"]
     q_con = q_con * delp + flux_increment(gx, gy, rarea)
 
     # pt transport and the delp update (compute domain only)
-    gx, gy = fv_tp_2d(
-        pt, crx, cry, xfx, yfx, gd, n, h, config.hord_tm,
-        nord_col=col["nord_v"], damp_c_col=col["damp_vt"],
-        mass=delp, x_mass_flux=fx, y_mass_flux=fy,
-    )
+    gx, gy = results["pt"]
     pt_new = pt * delp + flux_increment(gx, gy, rarea)
     delp_new = delp + flux_increment(fx, fy, rarea)
     pt_new = pt_new / delp_new
@@ -182,9 +230,8 @@ def d_sw(
     )
 
     abs_vorticity = vorticity_agrid + hz.f0[..., None]
-    fx, fy = fv_tp_2d(
-        abs_vorticity, crx, cry, xfx, yfx, gd, n, h, config.hord_vt,
-    )
+    fluxes, _ = transport([abs_vorticity], config.hord_vt)
+    fx, fy = fluxes[0]
 
     # u/v update from KE gradient + vorticity fluxes (outputs u*dx, v*dy)
     u_new = u * dx + ke - shift(ke, 1) + fy

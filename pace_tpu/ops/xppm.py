@@ -198,11 +198,13 @@ def _flux_core(q, courant, dgrid, n, h, ord_, sh, upd):
         bl = al - q
         br = sh(al, 1) - q
         b0 = bl + br
+        # smt5 as 0/1 floats, not bool: Mosaic cannot shift (concatenate)
+        # i1 vectors, and max() of indicators == logical or
         if mord == 5:
-            smt5 = bl * br < 0.0
+            smt5 = (bl * br < 0.0).astype(q.dtype)
         else:
-            smt5 = (3.0 * jnp.abs(b0)) < jnp.abs(bl - br)
-        mask = jnp.where(jnp.logical_or(sh(smt5, -1), smt5), 1.0, 0.0)
+            smt5 = ((3.0 * jnp.abs(b0)) < jnp.abs(bl - br)).astype(q.dtype)
+        mask = jnp.maximum(sh(smt5, -1), smt5)
         fx1 = _fx1_fn(courant, br, b0, bl, sh)
         return jnp.where(
             courant > 0.0, sh(q, -1) + fx1 * mask, q + fx1 * mask
