@@ -1,0 +1,117 @@
+"""Legacy Fortran restart reader: synthesize tile-sharded NetCDF3 restart
+files (the format the Fortran model writes) and read them back through
+utils/legacy_restart.open_restart."""
+
+import numpy as np
+import pytest
+
+from pace_tpu.utils.gridtools import GridSizing
+from pace_tpu.utils.legacy_restart import (
+    get_current_date_from_coupler_res,
+    open_restart,
+)
+
+N_, NZ, H = 6, 5, 3
+
+
+def _write_nc(path, variables):
+    """variables: name -> (dims tuple, array). Fortran layout (Time,z,y,x)."""
+    from scipy.io import netcdf_file
+
+    with netcdf_file(path, "w") as nc:
+        dims = {}
+        for name, (dim_names, data) in variables.items():
+            for d, size in zip(dim_names, data.shape):
+                if d not in dims:
+                    nc.createDimension(d, size)
+                    dims[d] = size
+            var = nc.createVariable(name, "d", dim_names)
+            var[:] = data
+
+
+@pytest.fixture()
+def restart_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    truth = {}
+    for tile in range(1, 7):
+        core = {
+            "u": (("Time", "zaxis_1", "yaxis_2", "xaxis_1"),
+                  rng.standard_normal((1, NZ, N_ + 1, N_))),
+            "v": (("Time", "zaxis_1", "yaxis_1", "xaxis_2"),
+                  rng.standard_normal((1, NZ, N_, N_ + 1))),
+            "T": (("Time", "zaxis_1", "yaxis_1", "xaxis_1"),
+                  280 + rng.standard_normal((1, NZ, N_, N_))),
+            "delp": (("Time", "zaxis_1", "yaxis_1", "xaxis_1"),
+                     1e3 + rng.standard_normal((1, NZ, N_, N_))),
+            "W": (("Time", "zaxis_1", "yaxis_1", "xaxis_1"),
+                  rng.standard_normal((1, NZ, N_, N_))),
+            "DZ": (("Time", "zaxis_1", "yaxis_1", "xaxis_1"),
+                   -(10 + rng.random((1, NZ, N_, N_)))),
+            "phis": (("Time", "yaxis_1", "xaxis_1"),
+                     rng.standard_normal((1, N_, N_))),
+        }
+        tracer = {
+            "sphum": (("Time", "zaxis_1", "yaxis_1", "xaxis_1"),
+                      rng.random((1, NZ, N_, N_))),
+            "liq_wat": (("Time", "zaxis_1", "yaxis_1", "xaxis_1"),
+                        rng.random((1, NZ, N_, N_))),
+        }
+        srf = {
+            "u_srf": (("Time", "yaxis_1", "xaxis_1"),
+                      rng.standard_normal((1, N_, N_))),
+            "v_srf": (("Time", "yaxis_1", "xaxis_1"),
+                      rng.standard_normal((1, N_, N_))),
+        }
+        _write_nc(tmp_path / f"fv_core.res.tile{tile}.nc", core)
+        _write_nc(tmp_path / f"fv_tracer.res.tile{tile}.nc", tracer)
+        _write_nc(tmp_path / f"fv_srf_wnd.res.tile{tile}.nc", srf)
+        truth[tile] = dict(core=core, tracer=tracer, srf=srf)
+    (tmp_path / "coupler.res").write_text(
+        "     2        (Calendar: no_calendar=0, thirty_day_months=1, "
+        "julian=2, gregorian=3, noleap=4)\n"
+        "  2016     8     1     0     0     0        Model start time\n"
+        "  2016     8     3     6    30     0        Current model time\n"
+    )
+    return tmp_path, truth
+
+
+def test_open_restart_round_trip(restart_dir):
+    path, truth = restart_dir
+    sizing = GridSizing(N_, NZ, H)
+    state = open_restart(str(path), sizing)
+
+    t = state["time"]
+    assert (t.year, t.month, t.day, t.hour, t.minute) == (2016, 8, 3, 6, 30)
+
+    # cell-centered 3D: (z, y, x) -> storage (x, y, z) in the compute domain
+    pt = state["pt"]
+    assert pt.shape[0] == 6 and pt.shape[1] == sizing.N
+    src = truth[3]["core"]["T"][1][0]          # tile 3, squeeze Time
+    got = pt[2, H:H + N_, H:H + N_]
+    np.testing.assert_allclose(
+        got, np.transpose(src, (2, 1, 0)), rtol=1e-6
+    )
+
+    # staggered u: y-interface extent n+1
+    u = state["u"]
+    src_u = truth[1]["core"]["u"][1][0]
+    np.testing.assert_allclose(
+        u[0, H:H + N_, H:H + N_ + 1],
+        np.transpose(src_u, (2, 1, 0)), rtol=1e-6,
+    )
+    # halos stay zero
+    assert np.all(state["delp"][:, :H, :] == 0)
+
+    # tracers map to q-names
+    np.testing.assert_allclose(
+        state["qvapor"][4, H:H + N_, H:H + N_],
+        np.transpose(truth[5]["tracer"]["sphum"][1][0], (2, 1, 0)),
+        rtol=1e-6,
+    )
+
+
+def test_only_names_subset(restart_dir):
+    path, _ = restart_dir
+    state = open_restart(str(path), GridSizing(N_, NZ, H),
+                         only_names=["pt", "delp"])
+    assert set(state) == {"pt", "delp", "time"}
