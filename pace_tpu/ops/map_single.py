@@ -54,6 +54,22 @@ def lagrangian_contributions(pe1, pe2, q4_1, q4_2, q4_3, q4_4, dp1):
     pe1/pe2 (..., nz+1) Lagrangian/Eulerian interface pressures (pe1 and
     pe2 must span the same total column); q4_* / dp1 (..., nz).
     Returns q on Eulerian layers (..., nz).
+    """
+    out = lagrangian_contributions_stacked(
+        pe1, pe2, q4_1[None], q4_2[None], q4_3[None], q4_4[None], dp1
+    )
+    return out[0]
+
+
+def lagrangian_contributions_stacked(pe1, pe2, q4_1, q4_2, q4_3, q4_4,
+                                     dp1):
+    """lagrangian_contributions for a STACK of fields sharing one
+    (pe1, pe2) pair: q4_* are (T, ..., nz); pe1/pe2/dp1 unbatched.
+
+    All T fields' gathers ride ONE one-hot MXU contraction, so the
+    (..., nz+1, nz) indicator is built and read once -- under vmap the
+    batched einsum re-reads it per field (~470 MB each at C48, the
+    dominant cost of the 9-tracer remap).
 
     O(nz) cumulative-integral form: with F(p) the integral of the PPM
     reconstruction from column top to pressure p, each Eulerian layer mean
@@ -67,6 +83,7 @@ def lagrangian_contributions(pe1, pe2, q4_1, q4_2, q4_3, q4_4, dp1):
     matches the overlap-scan form to ~1e-7 relative.
     """
     nz = q4_1.shape[-1]
+    T = q4_1.shape[0]
     # source layer index containing each target interface:
     # j[k] = #{m in 1..nz-1 : pe1[m] <= pe2[k]} in [0, nz-1]
     interior = pe1[..., 1:-1]
@@ -75,25 +92,17 @@ def lagrangian_contributions(pe1, pe2, q4_1, q4_2, q4_3, q4_4, dp1):
         axis=-1,
     )
 
-    # Gather layer quantities at j via a one-hot MXU contraction.  A
+    # Gather layer quantities at j via ONE one-hot MXU contraction.  A
     # take_along_axis gather along the minor (lane) axis serializes on TPU
     # (~17 ms per 7-array batch at C48) while the contraction is one MXU
-    # pass (~3 ms) and is EXACT at HIGHEST precision: each output has
-    # exactly one nonzero 0/1 weight, and the f32 operand splitting makes
-    # the lone product round once.
+    # pass and is EXACT at HIGHEST precision: each output has exactly one
+    # nonzero 0/1 weight, and the f32 operand splitting makes the lone
+    # product round once.
     dt = q4_1.dtype
     ind = (
         j[..., :, None]
         == jax.lax.broadcasted_iota(jnp.int32, j.shape + (nz,), j.ndim)
     ).astype(dt)
-
-    def take_many(*arrs):
-        stacked = jnp.stack(arrs, 0)
-        out = jnp.einsum(
-            "...km,c...m->c...k", ind, stacked,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return tuple(out)
 
     # whole-layer integrals of the reconstruction (its own analytic
     # integral, not q4_1*dp1 -- exact even where the PPM constraints leave
@@ -106,10 +115,21 @@ def lagrangian_contributions(pe1, pe2, q4_1, q4_2, q4_3, q4_4, dp1):
     err = (c_hi[..., 1:] - c_hi[..., :-1]) - integ
     c_lo = -jnp.concatenate([z, jnp.cumsum(err, -1)], -1)
 
-    p_l, dpl, c2, delta, c4, f_hi, f_lo0 = take_many(
-        pe1[..., :-1], dp1, q4_2, q4_3 - q4_2, q4_4,
-        c_hi[..., :-1], c_lo[..., :-1],
+    shared = jnp.stack([pe1[..., :-1], dp1], 0)
+    chans = jnp.concatenate([
+        jnp.broadcast_to(shared, shared.shape[:1] + q4_2.shape[1:]),
+        q4_2, q4_3 - q4_2, q4_4, c_hi[..., :-1], c_lo[..., :-1],
+    ], axis=0)
+    out = jnp.einsum(
+        "...km,c...m->c...k", ind, chans,
+        precision=jax.lax.Precision.HIGHEST,
     )
+    p_l, dpl = out[0], out[1]
+    c2 = out[2:2 + T]
+    delta = out[2 + T:2 + 2 * T]
+    c4 = out[2 + 2 * T:2 + 3 * T]
+    f_hi = out[2 + 3 * T:2 + 4 * T]
+    f_lo0 = out[2 + 4 * T:2 + 5 * T]
 
     # partial integral inside layer j up to the target interface
     s = jnp.clip((pe2 - p_l) / dpl, 0.0, 1.0)
@@ -127,3 +147,21 @@ def map_single(q1, pe1, pe2, n, h, kord, mode, qs=None, qmin: float = 0.0):
         qs = jnp.zeros(q1.shape[:-1], q1.dtype)
     a1, a2, a3, a4 = remap_profile(qs, q1, dp1, n, h, kord, mode, qmin)
     return lagrangian_contributions(pe1, pe2, a1, a2, a3, a4, dp1)
+
+
+def map_single_stacked(q_stack, pe1, pe2, n, h, kord, mode,
+                       qmin: float = 0.0):
+    """Remap a (T, ..., nz) STACK of fields sharing one (pe1, pe2) pair
+    and (kord, mode); the searchsorted indicator and its MXU contraction
+    are built once for all T fields."""
+    dp1 = pe1[..., 1:] - pe1[..., :-1]
+    zero_qs = jnp.zeros(q_stack.shape[1:-1], q_stack.dtype)
+    a1, a2, a3, a4 = jax.vmap(
+        lambda q: remap_profile(zero_qs, q, dp1, n, h, kord, mode, qmin)
+    )(q_stack)
+    # materialization fence: the contraction consumes a2/a3/a4 in several
+    # channel slots, and without the barrier XLA duplicates the whole
+    # limiter cascade into each consumer fusion (cost_analysis: 38 GB
+    # combined vs 19+5 GB for the stages at C48)
+    a1, a2, a3, a4 = jax.lax.optimization_barrier((a1, a2, a3, a4))
+    return lagrangian_contributions_stacked(pe1, pe2, a1, a2, a3, a4, dp1)

@@ -43,29 +43,23 @@ def enabled() -> bool:
 
 
 def _block_ops(axis: int):
-    """(shift, update-lines) pair on block arrays, along `axis`.
-
-    Matches stencil_utils.shift semantics: out[i] = q[i+d] with edge
-    replication at the block boundary (the block spans the full shifted
-    axis, so 'block boundary' == 'array boundary' exactly as in the jnp
-    path)."""
+    """(shift, update-lines) pair on block arrays, along `axis`."""
 
     def sh(q, d):
+        """Matches stencil_utils._shift_axis: zero-fill at the array
+        bounds (the block spans the full shifted axis, so block boundary
+        == array boundary exactly as in the jnp path)."""
         if d == 0:
             return q
-        nax = q.shape[axis]
+        cfg = [(0, 0, 0)] * q.ndim
         idx = [slice(None)] * q.ndim
         if d > 0:
             idx[axis] = slice(d, None)
-            body = q[tuple(idx)]
-            idx[axis] = slice(nax - 1, nax)
-            edge = q[tuple(idx)]
-            return jnp.concatenate([body] + [edge] * d, axis=axis)
-        idx[axis] = slice(None, d)
-        body = q[tuple(idx)]
-        idx[axis] = slice(0, 1)
-        edge = q[tuple(idx)]
-        return jnp.concatenate([edge] * (-d) + [body], axis=axis)
+            cfg[axis] = (0, d, 0)
+        else:
+            idx[axis] = slice(None, d)
+            cfg[axis] = (-d, 0, 0)
+        return jax.lax.pad(q[tuple(idx)], jnp.zeros((), q.dtype), cfg)
 
     def upd(dest, expr, *lines):
         # Pallas kernels may not capture array constants, so the line mask

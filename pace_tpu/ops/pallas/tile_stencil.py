@@ -68,35 +68,39 @@ class BlockOps:
     """Stencil ops on (R, N[, nz]) row-chunk blocks (axes 0, 1 = i, j).
 
     `row0` is the GLOBAL i index of block row 0 (may be negative for the
-    first chunk); row masks clamp the global index to [0, N-1] so
-    replicated pad rows carry the mask of the row they replicate -- which
-    reproduces the global edge-replication semantics exactly."""
+    first chunk).  Row shifts zero any read whose global SOURCE index is
+    outside [0, N): by induction this reproduces the global zero-pad
+    shift semantics (stencil_utils._shift_axis) at every in-range row,
+    for arbitrarily composed shift chains; pad-row values are then never
+    read.  j shifts span the full axis and zero-pad directly."""
 
     def __init__(self, row0, N):
         self.row0 = row0
         self.N = N
 
     def _sh_axis(self, q, d, axis):
-        n = q.shape[axis]
+        cfg = [(0, 0, 0)] * q.ndim
         idx = [slice(None)] * q.ndim
         if d > 0:
             idx[axis] = slice(d, None)
-            body = q[tuple(idx)]
-            idx[axis] = slice(n - 1, None)
-            edge = q[tuple(idx)]
-            parts = [body] + [edge] * d
+            cfg[axis] = (0, d, 0)
         else:
             idx[axis] = slice(None, d)
-            body = q[tuple(idx)]
-            idx[axis] = slice(0, 1)
-            edge = q[tuple(idx)]
-            parts = [edge] * (-d) + [body]
-        return jnp.concatenate(parts, axis=axis)
+            cfg[axis] = (-d, 0, 0)
+        return jax.lax.pad(q[tuple(idx)], jnp.zeros((), q.dtype), cfg)
 
     def shift(self, q, di=0, dj=0):
         out = q
         if di:
             out = self._sh_axis(out, di, 0)
+            src = (
+                jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+                + self.row0 + di
+            )
+            out = jnp.where(
+                jnp.logical_and(src >= 0, src < self.N), out,
+                jnp.zeros((), out.dtype),
+            )
         if dj:
             out = self._sh_axis(out, dj, 1)
         return out

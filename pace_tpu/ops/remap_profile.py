@@ -166,41 +166,59 @@ def _posdef_constraint_iv0(a1, a2, a3, a4):
     return a2n, a3n, a4n
 
 
+def _lane_iota(arr):
+    return jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 1)
+
+
+def _upd_k(dest, expr, ks):
+    """dest[..., k] = expr[..., k] for static lane indices ks, as a masked
+    select: lane scatters (.at[..., k].set) materialize the full array per
+    update and made remap_profile move ~40x its fundamental bytes."""
+    kk = _lane_iota(dest)
+    m = None
+    for k in ks:
+        t = kk == k
+        m = t if m is None else jnp.logical_or(m, t)
+    return jnp.where(m, expr, dest)
+
+
 def remap_profile(qs, a4_1, delp, n, h, kord: int, iv: int, qmin: float = 0.0):
     """Returns constrained (a4_1, a4_2, a4_3, a4_4) PPM coefficients."""
     nz = a4_1.shape[-1]
     q_if, _ = _spline_interfaces(a4_1, delp, qs, iv)
 
     # --- apply_constraints ---------------------------------------------------
-    # in k-last form; q_if (..., nz+1)
+    # in k-last form; q_if (..., nz+1).  All interface updates are ONE
+    # masked select over whole-lane candidate expressions.
     a1m = jnp.concatenate([a4_1[..., :1], a4_1[..., :-1]], -1)  # a4_1[k-1]
     tmp = jnp.maximum(a1m, a4_1)      # valid k >= 1
     tmp2 = jnp.minimum(a1m, a4_1)
     gam_c = a4_1 - a1m                # gam[k] = a1[k]-a1[k-1], valid k >= 1
     q = q_if
-    # top (interface 1)
-    q1c = jnp.clip(q[..., 1], tmp2[..., 1], tmp[..., 1])
-    q = q.at[..., 1].set(q1c)
-    # middle interfaces k = 2..nz-1: constrain by gam signs
-    gm1 = gam_c[..., 1:-1]            # gam[k-1] for k = 2..nz-1
-    gp1 = jnp.concatenate(
-        [gam_c[..., 3:], gam_c[..., -1:]], -1
-    )[..., :nz - 2]                   # gam[k+1] for k = 2..nz-1
-    qk = q[..., 2:nz]
-    both = jnp.clip(qk, tmp2[..., 2:nz], tmp[..., 2:nz])
-    only_max = jnp.maximum(qk, tmp2[..., 2:nz])
-    only_min = jnp.minimum(qk, tmp[..., 2:nz])
+    # layer-indexed bounds extended to interfaces: T_if[k] = tmp[k] for
+    # k <= nz-1 and tmp[nz-1] at k = nz (the reference's bottom rule)
+    tmp_if = jnp.concatenate([tmp, tmp[..., -1:]], -1)
+    tmp2_if = jnp.concatenate([tmp2, tmp2[..., -1:]], -1)
+    # gam at interface-relative offsets: GM[k] = gam_c[k-1], GP[k] = gam_c[k+1]
+    # (clamped at the ends exactly as the slice+pad forms did)
+    gm_if = jnp.concatenate([gam_c[..., :1], gam_c], -1)
+    gp_if = jnp.concatenate(
+        [gam_c[..., 1:], gam_c[..., -1:], gam_c[..., -1:]], -1
+    )
+    both = jnp.clip(q, tmp2_if, tmp_if)
+    only_max = jnp.maximum(q, tmp2_if)
+    only_min = jnp.minimum(q, tmp_if)
     if iv == 0:
         only_min = jnp.maximum(only_min, 0.0)
-    qk_new = jnp.where(
-        gm1 * gp1 > 0.0, both, jnp.where(gm1 > 0.0, only_max, only_min)
+    sel = jnp.where(
+        gm_if * gp_if > 0.0, both,
+        jnp.where(gm_if > 0.0, only_max, only_min),
     )
-    q = q.at[..., 2:nz].set(qk_new)
-    # bottom interface nz
-    qbc = jnp.clip(q[..., nz], tmp2[..., nz - 1:nz][..., 0],
-                   tmp[..., nz - 1:nz][..., 0])
-    # reference uses tmp/tmp2 at the last LAYER index for the bottom interface
-    q = q.at[..., nz].set(qbc)
+    ki = _lane_iota(q)
+    q = jnp.where(
+        ki == 0, q,
+        jnp.where(jnp.logical_or(ki == 1, ki == nz), both, sel),
+    )
 
     a4_2 = q[..., :-1]
     a4_3 = q[..., 1:]
@@ -220,63 +238,61 @@ def remap_profile(qs, a4_1, delp, n, h, kord: int, iv: int, qmin: float = 0.0):
     ext6 = jnp.abs(a4_4) > x1
 
     # --- set_interpolation_coefficients -------------------------------------
-    # top treatment
+    # Each static-lane update below is a masked select of a whole-lane
+    # candidate expression; the constraint helpers are elementwise, so the
+    # per-lane applications of the reference become lane masks over one
+    # whole-array evaluation.
+    kl = _lane_iota(a4_2)
+    # top treatment (lane 0)
     if iv == 0:
-        a4_2 = a4_2.at[..., 0].set(jnp.maximum(a4_2[..., 0], 0.0))
+        a4_2 = _upd_k(a4_2, jnp.maximum(a4_2, 0.0), (0,))
     elif iv == -1:
-        a4_2 = a4_2.at[..., 0].set(
-            jnp.where(a4_2[..., 0] * a4_1[..., 0] <= 0.0, 0.0, a4_2[..., 0])
+        a4_2 = _upd_k(
+            a4_2, jnp.where(a4_2 * a4_1 <= 0.0, 0.0, a4_2), (0,)
         )
     elif iv == 2:
-        a4_2 = a4_2.at[..., 0].set(a4_1[..., 0])
-        a4_3 = a4_3.at[..., 0].set(a4_1[..., 0])
-        a4_4 = a4_4.at[..., 0].set(0.0)
+        a4_2 = _upd_k(a4_2, a4_1, (0,))
+        a4_3 = _upd_k(a4_3, a4_1, (0,))
+        a4_4 = _upd_k(a4_4, jnp.zeros_like(a4_4), (0,))
+    a44_re = 3.0 * (2.0 * a4_1 - (a4_2 + a4_3))
+    a4_4 = _upd_k(a4_4, a44_re, (1,) if iv == 2 else (0, 1))
     if iv != 2:
-        a4_4 = a4_4.at[..., 0].set(
-            3.0 * (2.0 * a4_1[..., 0] - (a4_2[..., 0] + a4_3[..., 0]))
-        )
-    a4_4 = a4_4.at[..., 1].set(
-        3.0 * (2.0 * a4_1[..., 1] - (a4_2[..., 1] + a4_3[..., 1]))
-    )
-    if iv != 2:
-        a2n, a3n, a4n = _posdef_constraint_iv1(
-            a4_1[..., 0], a4_2[..., 0], a4_3[..., 0], a4_4[..., 0]
-        )
-        a4_2 = a4_2.at[..., 0].set(a2n)
-        a4_3 = a4_3.at[..., 0].set(a3n)
-        a4_4 = a4_4.at[..., 0].set(a4n)
-    a2n, a3n, a4n = _remap_constraint(
-        a4_1[..., 1], a4_2[..., 1], a4_3[..., 1], a4_4[..., 1], extm[..., 1]
-    )
-    a4_2 = a4_2.at[..., 1].set(a2n)
-    a4_3 = a4_3.at[..., 1].set(a3n)
-    a4_4 = a4_4.at[..., 1].set(a4n)
+        p2n, p3n, p4n = _posdef_constraint_iv1(a4_1, a4_2, a4_3, a4_4)
+        a4_2n = _upd_k(a4_2, p2n, (0,))
+        a4_3n = _upd_k(a4_3, p3n, (0,))
+        a4_4n = _upd_k(a4_4, p4n, (0,))
+        a4_2, a4_3, a4_4 = a4_2n, a4_3n, a4_4n
+    r2n, r3n, r4n = _remap_constraint(a4_1, a4_2, a4_3, a4_4, extm)
+    a4_2n = _upd_k(a4_2, r2n, (1,))
+    a4_3n = _upd_k(a4_3, r3n, (1,))
+    a4_4n = _upd_k(a4_4, r4n, (1,))
+    a4_2, a4_3, a4_4 = a4_2n, a4_3n, a4_4n
 
-    # interior layers k = 2..nz-3
-    sl = slice(2, nz - 2)
+    # interior layers k = 2..nz-3, computed whole-lane and masked in
+    interior = jnp.logical_and(kl >= 2, kl <= nz - 3)
     gam = gam_c  # gam[k] = a1[k] - a1[k-1]
     g_p1 = jnp.concatenate([gam[..., 1:], gam[..., -1:]], -1)      # gam[k+1]
     g_p2 = jnp.concatenate([gam[..., 2:], gam[..., -2:]], -1)      # gam[k+2]
     g_m1 = jnp.concatenate([gam[..., :1], gam[..., :-1]], -1)      # gam[k-1]
-    a1i, a2i, a3i = a4_1[..., sl], a4_2[..., sl], a4_3[..., sl]
+    a1i, a2i, a3i = a4_1, a4_2, a4_3
     if kord < 9:
-        pmp_1 = a1i - g_p1[..., sl]
-        lac_1 = pmp_1 + 1.5 * g_p2[..., sl]
+        pmp_1 = a1i - g_p1
+        lac_1 = pmp_1 + 1.5 * g_p2
         tmin, tmax = _minmax3(a1i, pmp_1, lac_1)
         a2n = jnp.minimum(jnp.maximum(a2i, tmin), tmax)
-        pmp_2 = a1i + 2.0 * g_p1[..., sl]
-        lac_2 = pmp_2 - 1.5 * g_m1[..., sl]
+        pmp_2 = a1i + 2.0 * g_p1
+        lac_2 = pmp_2 - 1.5 * g_m1
         tmin, tmax = _minmax3(a1i, pmp_2, lac_2)
         a3n = jnp.minimum(jnp.maximum(a3i, tmin), tmax)
         a4n = 3.0 * (2.0 * a1i - (a2n + a3n))
     elif kord == 9:
-        pmp_1 = a1i - 2.0 * g_p1[..., sl]
-        lac_1 = pmp_1 + 1.5 * g_p2[..., sl]
-        pmp_2 = a1i + 2.0 * gam[..., sl]
-        lac_2 = pmp_2 - 1.5 * g_m1[..., sl]
-        e = extm[..., sl]
-        e_m1 = jnp.concatenate([extm[..., :1], extm[..., :-1]], -1)[..., sl]
-        e_p1 = jnp.concatenate([extm[..., 1:], extm[..., -1:]], -1)[..., sl]
+        pmp_1 = a1i - 2.0 * g_p1
+        lac_1 = pmp_1 + 1.5 * g_p2
+        pmp_2 = a1i + 2.0 * gam
+        lac_2 = pmp_2 - 1.5 * g_m1
+        e = extm
+        e_m1 = jnp.concatenate([extm[..., :1], extm[..., :-1]], -1)
+        e_p1 = jnp.concatenate([extm[..., 1:], extm[..., -1:]], -1)
         flat = jnp.logical_or(
             jnp.logical_and(e, jnp.logical_or(e_m1, e_p1)),
             jnp.logical_and(e, jnp.logical_and(qmin > 0.0, a1i < qmin)),
@@ -294,64 +310,56 @@ def remap_profile(qs, a4_1, delp, n, h, kord: int, iv: int, qmin: float = 0.0):
             jnp.where(limit, 6.0 * a1i - 3.0 * (a2n + a3n), a44_try),
         )
     elif kord == 10:
-        pmp_1 = a1i - 2.0 * g_p1[..., sl]
-        lac_1 = pmp_1 + 1.5 * g_p2[..., sl]
-        pmp_2 = a1i + 2.0 * gam[..., sl]
-        lac_2 = pmp_2 - 1.5 * g_m1[..., sl]
+        pmp_1 = a1i - 2.0 * g_p1
+        lac_1 = pmp_1 + 1.5 * g_p2
+        pmp_2 = a1i + 2.0 * gam
+        lac_2 = pmp_2 - 1.5 * g_m1
         tmin2, tmax2 = _minmax3(a1i, pmp_1, lac_1)
         tmp2v = jnp.maximum(a2i, tmin2)
         tmin3, tmax3 = _minmax3(a1i, pmp_2, lac_2)
         tmp3v = jnp.maximum(a3i, tmin3)
-        e5 = ext5[..., sl]
-        e5_m1 = jnp.concatenate([ext5[..., :1], ext5[..., :-1]], -1)[..., sl]
-        e5_p1 = jnp.concatenate([ext5[..., 1:], ext5[..., -1:]], -1)[..., sl]
-        e6 = ext6[..., sl]
-        e6_m1 = jnp.concatenate([ext6[..., :1], ext6[..., :-1]], -1)[..., sl]
-        e6_p1 = jnp.concatenate([ext6[..., 1:], ext6[..., -1:]], -1)[..., sl]
+        e5_m1 = jnp.concatenate([ext5[..., :1], ext5[..., :-1]], -1)
+        e5_p1 = jnp.concatenate([ext5[..., 1:], ext5[..., -1:]], -1)
+        e6_m1 = jnp.concatenate([ext6[..., :1], ext6[..., :-1]], -1)
+        e6_p1 = jnp.concatenate([ext6[..., 1:], ext6[..., -1:]], -1)
         lim2 = jnp.minimum(tmp2v, tmax2)
         lim3 = jnp.minimum(tmp3v, tmax3)
         n5 = jnp.logical_or(e5_m1, e5_p1)
         n6 = jnp.logical_or(e6_m1, e6_p1)
         a2n = jnp.where(
-            e5, jnp.where(n5, a1i, jnp.where(n6, lim2, a2i)),
-            jnp.where(jnp.logical_and(e6, n5), lim2, a2i),
+            ext5, jnp.where(n5, a1i, jnp.where(n6, lim2, a2i)),
+            jnp.where(jnp.logical_and(ext6, n5), lim2, a2i),
         )
         a3n = jnp.where(
-            e5, jnp.where(n5, a1i, jnp.where(n6, lim3, a3i)),
-            jnp.where(jnp.logical_and(e6, n5), lim3, a3i),
+            ext5, jnp.where(n5, a1i, jnp.where(n6, lim3, a3i)),
+            jnp.where(jnp.logical_and(ext6, n5), lim3, a3i),
         )
         a4n = 3.0 * (2.0 * a1i - (a2n + a3n))
     else:
         raise NotImplementedError(f"kord {kord}")
     if iv == 0:
         a2n, a3n, a4n = _posdef_constraint_iv0(a1i, a2n, a3n, a4n)
-    a4_2 = a4_2.at[..., sl].set(a2n)
-    a4_3 = a4_3.at[..., sl].set(a3n)
-    a4_4 = a4_4.at[..., sl].set(a4n)
+    a4_2 = jnp.where(interior, a2n, a4_2)
+    a4_3 = jnp.where(interior, a3n, a4_3)
+    a4_4 = jnp.where(interior, a4n, a4_4)
 
-    # bottom treatment
+    # bottom treatment (lanes nz-2, nz-1)
     if iv == 0:
-        a4_3 = a4_3.at[..., -1].set(jnp.maximum(a4_3[..., -1], 0.0))
+        a4_3 = _upd_k(a4_3, jnp.maximum(a4_3, 0.0), (nz - 1,))
     elif iv == -1:
-        a4_3 = a4_3.at[..., -1].set(
-            jnp.where(a4_3[..., -1] * a4_1[..., -1] <= 0.0, 0.0, a4_3[..., -1])
+        a4_3 = _upd_k(
+            a4_3, jnp.where(a4_3 * a4_1 <= 0.0, 0.0, a4_3), (nz - 1,)
         )
-    for k in (nz - 2, nz - 1):
-        a4_4 = a4_4.at[..., k].set(
-            3.0 * (2.0 * a4_1[..., k] - (a4_2[..., k] + a4_3[..., k]))
-        )
-    a2n, a3n, a4n = _remap_constraint(
-        a4_1[..., nz - 2], a4_2[..., nz - 2], a4_3[..., nz - 2],
-        a4_4[..., nz - 2], extm[..., nz - 2],
+    a4_4 = _upd_k(
+        a4_4, 3.0 * (2.0 * a4_1 - (a4_2 + a4_3)), (nz - 2, nz - 1)
     )
-    a4_2 = a4_2.at[..., nz - 2].set(a2n)
-    a4_3 = a4_3.at[..., nz - 2].set(a3n)
-    a4_4 = a4_4.at[..., nz - 2].set(a4n)
-    a2n, a3n, a4n = _posdef_constraint_iv1(
-        a4_1[..., nz - 1], a4_2[..., nz - 1], a4_3[..., nz - 1],
-        a4_4[..., nz - 1],
-    )
-    a4_2 = a4_2.at[..., nz - 1].set(a2n)
-    a4_3 = a4_3.at[..., nz - 1].set(a3n)
-    a4_4 = a4_4.at[..., nz - 1].set(a4n)
+    r2n, r3n, r4n = _remap_constraint(a4_1, a4_2, a4_3, a4_4, extm)
+    a4_2n = _upd_k(a4_2, r2n, (nz - 2,))
+    a4_3n = _upd_k(a4_3, r3n, (nz - 2,))
+    a4_4n = _upd_k(a4_4, r4n, (nz - 2,))
+    a4_2, a4_3, a4_4 = a4_2n, a4_3n, a4_4n
+    p2n, p3n, p4n = _posdef_constraint_iv1(a4_1, a4_2, a4_3, a4_4)
+    a4_2 = _upd_k(a4_2, p2n, (nz - 1,))
+    a4_3 = _upd_k(a4_3, p3n, (nz - 1,))
+    a4_4 = _upd_k(a4_4, p4n, (nz - 1,))
     return a4_1, a4_2, a4_3, a4_4

@@ -12,7 +12,7 @@ import numpy as np
 
 from pace_tpu.ops import fillz as fillz_mod
 from pace_tpu.ops import moist_cv
-from pace_tpu.ops.map_single import map_single
+from pace_tpu.ops.map_single import map_single, map_single_stacked
 from pace_tpu.ops.stencil_utils import shift
 from pace_tpu.utils import constants
 
@@ -72,9 +72,7 @@ def lagrangian_to_eulerian(
     # (all tracer kords are equal for supported configs: reference
     # mapn_tracer.py sets kord_tracer[5]=9 and kord_tr=9 in practice)
     stacked = jnp.stack([tracers[name] for name in REMAP_TRACERS])
-    stacked = jax.vmap(
-        lambda q: map_single(q, pe1, pe2, n, h, kord_tr, 0)
-    )(stacked)
+    stacked = map_single_stacked(stacked, pe1, pe2, n, h, kord_tr, 0)
     if config.fill:
         stacked = jax.vmap(lambda q: fillz_mod.fix_tracer(q, dp2))(stacked)
     new_tracers = dict(tracers)
