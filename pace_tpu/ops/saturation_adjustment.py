@@ -1,11 +1,12 @@
 """Fast saturation adjustment (SatAdjust3d): grid-scale phase changes.
 
 jnp port of ai2cm/pace fv3core/pace/fv3core/stencils/saturation_adjustment.py
-(Zhou, Harris and Chen 2022).  The reference evaluates its saturation
-vapor-pressure tables pointwise inside the stencil; here the three
-2621-entry tables are precomputed once in numpy and looked up with gathers,
-as the Fortran model does.  Everything else is elementwise in k and maps
-directly onto the VPU.
+(Zhou, Harris and Chen 2022).  The reference interpolates precomputed
+2621-entry saturation vapor-pressure tables; on TPU a per-element table
+gather serializes (lane-gather pathology), so the closed forms the tables
+were built from are evaluated directly on the VPU (_es_and_ddt).  The
+numpy tables are kept (_qs_tables) as the numerical reference.  Everything
+else is elementwise in k and maps directly onto the VPU.
 """
 
 from __future__ import annotations
@@ -64,30 +65,61 @@ def _qs_tables():
     return table, table2, tablew, des2, desw
 
 
-def _ap1_and_indices(ta):
-    ap1 = 10.0 * dim(ta, constants.T_SAT_MIN) + 1.0
-    ap1 = jnp.minimum(ap1, QS_LENGTH) - 1.0
-    it = jnp.floor(ap1).astype(jnp.int32)
-    it2 = jnp.floor(ap1 - 0.5).astype(jnp.int32)
-    return ap1, it, it2
+def _es_water(t):
+    return constants.E00 * jnp.exp(
+        (constants.DC_VAP * jnp.log(t / constants.TICE)
+         + constants.LV0 * (t - constants.TICE) / (t * constants.TICE))
+        / constants.RVGAS
+    )
 
 
-def _wqs2(ta, den, table_np, des_np):
-    table = jnp.asarray(table_np, ta.dtype)
-    des = jnp.asarray(des_np, ta.dtype)
-    ap1, it, it2 = _ap1_and_indices(ta)
-    es = table[it] + (ap1 - it) * des[it]
+def _es_ice(t):
+    return constants.E00 * jnp.exp(
+        (constants.D2ICE * jnp.log(t / constants.TICE)
+         + constants.LI2 * (t - constants.TICE) / (t * constants.TICE))
+        / constants.RVGAS
+    )
+
+
+def _es_and_ddt(ta, kind: str):
+    """Saturation vapor pressure (and its temperature derivative) evaluated
+    analytically at the table-clamped temperature.
+
+    The reference interpolates 2621-entry tables; a per-element 1D-table
+    gather serializes on TPU (the lane-gather pathology, ~150 ms per
+    sat-adj call at C48), while the closed-form exp/log the tables were
+    BUILT from runs on the VPU in one pass.  "w" is the pure-water table
+    (tablew); "i2" is table2: ice below TICE, water above (the two
+    branches are continuous at TICE where both equal E00)."""
+    t = jnp.clip(ta, constants.T_SAT_MIN,
+                 constants.T_SAT_MIN + DELT * (QS_LENGTH - 1))
+    if kind == "w":
+        es = _es_water(t)
+        desdt = es * (constants.DC_VAP + constants.LV0 / t) \
+            / (constants.RVGAS * t)
+    else:
+        esw = _es_water(t)
+        esi = _es_ice(t)
+        ice = t < constants.TICE
+        es = jnp.where(ice, esi, esw)
+        desdt = jnp.where(
+            ice,
+            esi * (constants.D2ICE + constants.LI2 / t)
+            / (constants.RVGAS * t),
+            esw * (constants.DC_VAP + constants.LV0 / t)
+            / (constants.RVGAS * t),
+        )
+    return es, desdt
+
+
+def _wqs2(ta, den, kind: str):
+    es, desdt = _es_and_ddt(ta, kind)
     denom = constants.RVGAS * ta * den
-    wqsat = es / denom
-    dqdt = 10.0 * (des[it2] + (ap1 - it2) * (des[it2 + 1] - des[it2]))
-    return wqsat, dqdt / denom
+    return es / denom, desdt / denom
 
 
-def _wqs1(tin, den, table_np, des_np):
-    table = jnp.asarray(table_np, tin.dtype)
-    des = jnp.asarray(des_np, tin.dtype)
-    ap1, it, _ = _ap1_and_indices(tin)
-    es = table[it] + (ap1 - it) * des[it]
+def _wqs1(tin, den, kind: str):
+    es, _ = _es_and_ddt(tin, kind)
     return es / (constants.RVGAS * tin * den)
 
 
@@ -107,7 +139,6 @@ def saturation_adjustment(
     last_step, akap, gd, config, n, h, vp=None,
 ):
     """Returns (tracers, q_con, pt, pkz, cappa, delp, delz, peln)."""
-    table, table2, tablew, des2, desw = _qs_tables()
     sdt = 0.5 * mdt
     fac_i2s = 1.0 - math.exp(-mdt / config.tau_i2s)
     fac_v2l = 1.0 - math.exp(-sdt / config.tau_v2l)
@@ -184,7 +215,7 @@ def saturation_adjustment(
     cvm = _cvm_of(mc_air, qv, c_vap, q_liq, q_sol)
     pt1 = pt1 + sink * lhi / cvm
 
-    wqsat, dq2dt = _wqs2(pt1, den, tablew, desw)
+    wqsat, dq2dt = _wqs2(pt1, den, "w")
     lhl, lhi, lcp2, icp2 = _lh_coeffs(pt1, cvm, lv00, d0_vap)
     tcp3 = lcp2 + icp2 * jnp.minimum(1.0, dim(constants.TICE, pt1) / 48.0)
     dq0 = (qv - wqsat) / (1.0 + tcp3 * dq2dt)
@@ -205,7 +236,7 @@ def saturation_adjustment(
     tcp3 = lcp2 + icp2 * jnp.minimum(1.0, dim(constants.TICE, pt1) / 48.0)
 
     if last_step:
-        wqsat, dq2dt = _wqs2(pt1, den, tablew, desw)
+        wqsat, dq2dt = _wqs2(pt1, den, "w")
         dq0 = (qv - wqsat) / (1.0 + tcp3 * dq2dt)
         factor = -jnp.minimum(1.0, fac_l2v * 10.0 * (1.0 - qv / wqsat))
         src = jnp.where(dq0 > 0.0, dq0, -jnp.minimum(ql, factor * dq0))
@@ -282,7 +313,7 @@ def saturation_adjustment(
     qr = qr + sink
     ql = ql - sink
 
-    iqs2, dqsdt = _wqs2(pt1, den, table2, des2)
+    iqs2, dqsdt = _wqs2(pt1, den, "i2")
     expsubl = jnp.exp(0.875 * jnp.log(jnp.maximum(qi * den, 1e-30)))
     lhl, lhi, lcp2, icp2 = _lh_coeffs(pt1, cvm, lv00, d0_vap)
     tcp2 = lcp2 + icp2
@@ -353,8 +384,8 @@ def saturation_adjustment(
         q_liq_r = ql + qr if config.rad_rain else ql
         q_cond = q_sol_r + q_liq_r
         tin = pt1 if config.tintqs else pt1 - (lcp2 * q_cond + icp2 * q_sol_r)
-        wqs1 = _wqs1(tin, den, tablew, desw)
-        iqs1 = _wqs1(tin, den, table2, des2)
+        wqs1 = _wqs1(tin, den, "w")
+        iqs1 = _wqs1(tin, den, "i2")
         rqi = jnp.where(
             q_cond > 1e-6, q_sol_r / jnp.where(q_cond == 0, 1.0, q_cond),
             (constants.TICE - tin) / (constants.TICE - constants.T_WFR),

@@ -244,3 +244,33 @@ def test_prog_ccn():
     out = mp(state)
     for v in out.values():
         assert not bool(jnp.isnan(v).any())
+
+
+def test_analytic_qs_matches_tables():
+    """The analytic saturation functions must match linear interpolation of
+    the reference tables to the tables' own discretization error."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pace_tpu.ops import saturation_adjustment as sa
+    from pace_tpu.utils import constants
+
+    table, table2, tablew, des2, desw = sa._qs_tables()
+    ta = np.linspace(constants.T_SAT_MIN + 0.05, constants.T_SAT_MIN + 260.0,
+                     4001)
+    den = np.full_like(ta, 1.2)
+
+    def table_interp(tin, tab, des):
+        ap1 = 10.0 * np.maximum(tin - constants.T_SAT_MIN, 0.0) + 1.0
+        ap1 = np.minimum(ap1, sa.QS_LENGTH) - 1.0
+        it = np.floor(ap1).astype(int)
+        es = tab[it] + (ap1 - it) * des[it]
+        return es / (constants.RVGAS * tin * den)
+
+    for kind, tab, des in (("w", tablew, desw), ("i2", table2, des2)):
+        got = np.asarray(sa._wqs1(jnp.asarray(ta), jnp.asarray(den), kind))
+        ref = table_interp(ta, tab, des)
+        # exclude the 0.3 K ice/water transition sliver the reference
+        # smooths pointwise
+        mask = np.abs(ta - constants.TICE) > 0.3
+        rel = np.abs(got - ref)[mask] / np.maximum(ref[mask], 1e-30)
+        assert rel.max() < 5e-4, (kind, rel.max())  # table's own interp error at cold T
