@@ -125,8 +125,10 @@ def _k3_outer_y(qax_ref, fyin_ref, cry_ref, ymf_ref, dya_ref,
     fy_ref[0, 0] = 0.5 * (mean2 + fy_in) * ymf
 
 
-def _chunk(N: int, target: int = 28) -> int:
-    """Largest divisor of N that is <= target (VMEM sizing)."""
+def _chunk(N: int) -> int:
+    """Largest divisor of N keeping a (chunk, N, 128-lane) f32 block's
+    rows*cols <= 28*56 (the C48-tuned VMEM budget; blocks scale ~XB*N)."""
+    target = max(1, (28 * 56) // N)
     for c in range(min(target, N), 0, -1):
         if N % c == 0:
             return c
@@ -190,8 +192,10 @@ def transport_batched(
     )(q_y, cry, yfx, dya, area)
 
     # ---- K2: shifts along x; chunk y --------------------------------------
-    # the y-chunk sits in the sublane slot of K2's blocks -> multiple of 8
-    YB = next((c for c in range(min(24, N), 0, -8) if N % c == 0), N)
+    # the y-chunk sits in the sublane slot of K2's blocks -> multiple of 8;
+    # same rows*cols VMEM budget as _chunk, floored at the 8-sublane tile
+    yb_cap = max(8, (28 * 56) // N // 8 * 8)
+    YB = next((c for c in range(min(yb_cap, N), 0, -8) if N % c == 0), N)
     nyc = N // YB
     g2 = (nt, nyc, T)
     m5y = lambda t, c, a: (a, t, 0, c, 0)
