@@ -216,6 +216,31 @@ def _fill_corners_vector_tables(n: int, h: int, grid: str):
     return tables
 
 
+@functools.lru_cache(maxsize=None)
+def _fill_corners_vector_perm(n: int, h: int, N: int, grid: str):
+    """Full (N, N) gather maps for fill_corners_vector: per target array,
+    (SI, SJ) source indices (identity outside wedges), SA source-component
+    selector, SG sign flag, and the wedge mask."""
+    tables = _fill_corners_vector_tables(n, h, grid)
+    out = {}
+    for tgt_arr, (ti, tj, si, sj, sa, sg) in tables.items():
+        SI, SJ = np.meshgrid(
+            np.arange(N, dtype=np.int32), np.arange(N, dtype=np.int32),
+            indexing="ij",
+        )
+        SI, SJ = SI.copy(), SJ.copy()
+        SA = np.zeros((N, N), np.int32)
+        SG = np.zeros((N, N), np.int32)
+        MASK = np.zeros((N, N), bool)
+        SI[ti, tj] = si
+        SJ[ti, tj] = sj
+        SA[ti, tj] = sa
+        SG[ti, tj] = sg
+        MASK[ti, tj] = True
+        out[tgt_arr] = (SI, SJ, SA, SG, MASK)
+    return out
+
+
 def fill_corners_vector(
     x: jnp.ndarray, y: jnp.ndarray, n: int, h: int, grid: str,
     vector: bool = True,
@@ -224,20 +249,23 @@ def fill_corners_vector(
 
     With vector=True, entries crossing an odd number of reflections get a
     sign flip (reference `mysign=-1`); vector=False is used for unsigned
-    metric pairs like (dx, dy)."""
-    tables = _fill_corners_vector_tables(n, h, grid)
+    metric pairs like (dx, dy).  Whole-array permutation gathers + masked
+    select: scatter-free (XLA SPMD mispartitions scatters,
+    docs/KNOWN_ISSUES.md) and faster than .at[].set on TPU."""
+    perms = _fill_corners_vector_perm(n, h, x.shape[1], grid)
     mysign = -1.0 if vector else 1.0
+    extra = (1,) * (x.ndim - 3)
     outs = []
     for tgt_arr, arr in ((0, x), (1, y)):
-        ti, tj, si, sj, sa, sg = tables[tgt_arr]
-        from_x = x[:, si, sj]
-        from_y = y[:, si, sj]
-        ndim_extra = x.ndim - 3
-        sa_b = sa.reshape(sa.shape + (1,) * ndim_extra)
-        sg_b = sg.reshape(sg.shape + (1,) * ndim_extra)
+        SI, SJ, SA, SG, MASK = perms[tgt_arr]
+        from_x = x[:, SI, SJ]
+        from_y = y[:, SI, SJ]
+        sa_b = jnp.asarray(SA.reshape((1,) + SA.shape + extra))
+        sg_b = jnp.asarray(SG.reshape((1,) + SG.shape + extra))
+        mask = jnp.asarray(MASK.reshape((1,) + MASK.shape + extra))
         vals = jnp.where(sa_b == 0, from_x, from_y)
         sign = jnp.where(sg_b == 1, mysign, 1.0).astype(arr.dtype)
-        outs.append(arr.at[:, ti, tj].set(sign * vals))
+        outs.append(jnp.where(mask, sign * vals, arr))
     return outs[0], outs[1]
 
 
@@ -269,17 +297,38 @@ def _fill_corners_cells_table(n: int, h: int, direction: str, ncells: int):
     return ti, tj, si, sj, cid
 
 
+@functools.lru_cache(maxsize=None)
+def _fill_corners_cells_perm(n: int, h: int, N: int, direction: str,
+                             ncells: int):
+    ti, tj, si, sj, cid = _fill_corners_cells_table(n, h, direction, ncells)
+    SI, SJ = np.meshgrid(
+        np.arange(N, dtype=np.int32), np.arange(N, dtype=np.int32),
+        indexing="ij",
+    )
+    SI, SJ = SI.copy(), SJ.copy()
+    CID = np.full((N, N), -1, np.int32)
+    SI[ti, tj] = si
+    SJ[ti, tj] = sj
+    CID[ti, tj] = cid
+    return SI, SJ, CID
+
+
 def fill_corners_cells(
     q: jnp.ndarray, q_corner: jnp.ndarray, n: int, h: int, direction: str,
     ncells: int, sw_mult=1.0, se_mult=1.0, nw_mult=1.0, ne_mult=1.0,
 ) -> jnp.ndarray:
     """fill_corners_{2,3}cells_mult_{x,y}: write rotated companion-field data
-    into `ncells` corner halo cells of q."""
-    ti, tj, si, sj, cid = _fill_corners_cells_table(n, h, direction, ncells)
-    mults = jnp.asarray([sw_mult, se_mult, nw_mult, ne_mult], q.dtype)[cid]
-    vals = q_corner[:, si, sj]
+    into `ncells` corner halo cells of q (scatter-free gather + select)."""
+    SI, SJ, CID = _fill_corners_cells_perm(n, h, q.shape[1], direction,
+                                           ncells)
+    mult_map = np.ones(CID.shape)
+    for c, m in enumerate((sw_mult, se_mult, nw_mult, ne_mult)):
+        mult_map[CID == c] = m
     extra = (1,) * (q.ndim - 3)
-    return q.at[:, ti, tj].set(mults.reshape(mults.shape + extra) * vals)
+    mask = jnp.asarray((CID >= 0).reshape((1,) + CID.shape + extra))
+    mm = jnp.asarray(mult_map.reshape((1,) + mult_map.shape + extra),
+                     q.dtype)
+    return jnp.where(mask, mm * q_corner[:, SI, SJ], q)
 
 
 def fill_corners_dgrid(x, y, n, h, vector=True):

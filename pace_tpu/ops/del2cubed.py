@@ -34,9 +34,13 @@ def _corner_fill(q, n, h):
         ((isc - 1, jec), ((1, 0), (0, 0), (1, 1))),
         ((isc, jec + 1), ((0, -1), (-1, -1), (0, 0))),
     ]
+    # masked selects of shifted whole-array expressions: fuse into one
+    # pass, where 12 chained .at point-sets each materialized the array
+    from pace_tpu.ops import stencil_utils as su
+
     for (ti, tj), offs in updates:
-        val = sum(q[:, ti + oi, tj + oj] for (oi, oj) in offs) * third
-        out = out.at[:, ti, tj].set(val)
+        expr = sum(su.shift(q, oi, oj) for (oi, oj) in offs) * third
+        out = su.upd_point(out, expr, ti, tj)
     return out
 
 

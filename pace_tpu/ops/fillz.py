@@ -19,10 +19,11 @@ def fix_tracer(q, dp):
     qk = kf(q)
     dpk = kf(dp)
 
-    # fix_top
+    # fix_top (single concat: leading-axis .at sets materialize the full
+    # stack per update)
     q1 = jnp.where(qk[0] < 0.0, qk[1] + qk[0] * dpk[0] / dpk[1], qk[1])
     q0 = jnp.maximum(qk[0], 0.0)
-    qk = qk.at[0].set(q0).at[1].set(q1)
+    qk = jnp.concatenate([q0[None], q1[None], qk[2:]], 0)
 
     # fix_interior: forward scan k = 1..nz-2
     def body2(carry, xs):
@@ -55,7 +56,9 @@ def fix_tracer(q, dp):
     )
 
     # account for upward borrows: q_k -= upper_fix[k+1]/dp_k for k < nz-1
-    q_new = q_new.at[:nz - 1].add(-upper_fix[1:] / dpk[:nz - 1])
+    q_new = jnp.concatenate(
+        [q_new[:nz - 1] - upper_fix[1:] / dpk[:nz - 1], q_new[nz - 1:]], 0
+    )
 
     # fix_bottom
     q_bot = q_new[nz - 1]
@@ -68,11 +71,10 @@ def fix_tracer(q, dp):
     dup = jnp.minimum(qup, qly)
     bot_fix = jnp.logical_and(q_bot < 0.0, q_new[nz - 2] > 0.0)
     q_bot = jnp.where(bot_fix, q_bot + dup / dpk[nz - 1], q_bot)
-    q_new = q_new.at[nz - 1].set(q_bot)
-    q_new = q_new.at[nz - 2].set(
-        jnp.where(bot_fix, q_new[nz - 2] - dup / dpk[nz - 2], q_new[nz - 2])
-    )
-    zfix_any = zfix_any.at[nz - 1].set(bot_fix)
+    q_nz2 = jnp.where(bot_fix, q_new[nz - 2] - dup / dpk[nz - 2],
+                      q_new[nz - 2])
+    q_new = jnp.concatenate([q_new[:nz - 2], q_nz2[None], q_bot[None]], 0)
+    zfix_any = jnp.concatenate([zfix_any[:nz - 1], bot_fix[None]], 0)
 
     dm = q_new * dpk
     dm_pos = jnp.maximum(dm, 0.0)
@@ -84,7 +86,7 @@ def fix_tracer(q, dp):
     q_final = jnp.where(
         apply[None], jnp.maximum(fac[None] * dm / dpk, 0.0), q_new
     )
-    q_final = q_final.at[0].set(q_new[0])
+    q_final = jnp.concatenate([q_new[:1], q_final[1:]], 0)
     return kl(q_final)
 
 

@@ -155,7 +155,7 @@ def _fix_water_vapor_down(q, dp):
     # top
     q1 = jnp.where(qk[0] < 0.0, qk[1] + qk[0] * dpk[0] / dpk[1], qk[1])
     q0 = jnp.maximum(qk[0], 0.0)
-    qk = qk.at[0].set(q0).at[1].set(q1)
+    qk = jnp.concatenate([q0[None], q1[None], qk[2:]], 0)
 
     # forward pass k = 1..nz-2: borrow from above, push deficit below
     def fwd(carry, x):
@@ -179,8 +179,10 @@ def _fix_water_vapor_down(q, dp):
     zeros = jnp.zeros_like(qk[0])
     qk = jnp.concatenate([qk[0][None], q_mid, qk[nz - 1][None]], 0)
     upper_fix = jnp.concatenate([zeros[None], upper_fix_mid, zeros[None]], 0)
-    # account for borrows from above
-    qk = qk.at[:nz - 1].add(-upper_fix[1:] / dpk[:nz - 1])
+    # account for borrows from above (single concat, not a full-stack DUS)
+    qk = jnp.concatenate(
+        [qk[:nz - 1] - upper_fix[1:] / dpk[:nz - 1], qk[nz - 1:]], 0
+    )
     # bottom: add any deficit pushed down from nz-2
     q_bot = qk[nz - 1] + low_last / dpk[nz - 1]
 
@@ -220,8 +222,9 @@ def _fix_neg_cloud(dp, q):
     (_, _), q_mid = jax.lax.scan(
         fwd, (qk[0], dpk[0]), (qk[1:nz - 1], dpk[1:nz - 1])
     )
-    qk = jnp.concatenate([qk[0][None], q_mid, qk[nz - 1][None]], 0)
-    qk = qk.at[1:nz - 1].set(jnp.maximum(qk[1:nz - 1], 0.0))
+    qk = jnp.concatenate(
+        [qk[0][None], jnp.maximum(q_mid, 0.0), qk[nz - 1][None]], 0
+    )
     # bottom fix
     need = jnp.logical_and(qk[nz - 1] < 0.0, qk[nz - 2] > 0.0)
     dq = jnp.where(
@@ -229,11 +232,11 @@ def _fix_neg_cloud(dp, q):
         jnp.minimum(-qk[nz - 1] * dpk[nz - 1], qk[nz - 2] * dpk[nz - 2]),
         0.0,
     )
-    qk = qk.at[nz - 2].add(-dq / dpk[nz - 2])
-    qk = qk.at[nz - 1].set(
-        jnp.where(need, jnp.maximum(qk[nz - 1] + dq / dpk[nz - 1], 0.0),
-                  qk[nz - 1])
+    q_nz2 = qk[nz - 2] - dq / dpk[nz - 2]
+    q_bot = jnp.where(
+        need, jnp.maximum(qk[nz - 1] + dq / dpk[nz - 1], 0.0), qk[nz - 1]
     )
+    qk = jnp.concatenate([qk[:nz - 2], q_nz2[None], q_bot[None]], 0)
     return jnp.moveaxis(qk, 0, -1)
 
 
