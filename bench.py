@@ -29,6 +29,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    cache_dir = os.environ.get(
+        "PACE_XLA_CACHE", os.path.expanduser("~/.cache/pace_tpu_xla")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # caching is an optimization; never fail the bench over it
+
     from pace_tpu.grid.generation import generate_grid_data
     from pace_tpu.models.fv3.config import DynamicalCoreConfig
     from pace_tpu.models.fv3.dynamics import DynamicalCore
@@ -44,10 +54,34 @@ def main():
     core = DynamicalCore(config, sizing, grid_data, timestep=dt_atmos)
     state = init_baroclinic_state(sizing, dtype=jnp.float32)
 
-    step = jax.jit(core.step_dynamics)
-    # compile + warmup
-    state = step(state)
-    _sync(state.delp)
+    # donate the input state (identical in/out pytree): halves the
+    # state's HBM footprint, the lever for C96+/C192 single-chip fits
+    step = jax.jit(core.step_dynamics, donate_argnums=0)
+
+    # Compile + warmup, with retries: the axon tunnel's remote-compile
+    # service occasionally drops a response mid-read, surfacing as a
+    # transient INTERNAL JaxRuntimeError.  One flake must not void the
+    # round's metric, so re-create the state and retry up to 3 times.
+    warm = None
+    for attempt in range(3):
+        try:
+            fresh = init_baroclinic_state(sizing, dtype=jnp.float32)
+            warm = step(fresh)
+            _sync(warm.delp)
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            transient = any(
+                key in str(e)
+                for key in ("INTERNAL", "remote_compile", "UNAVAILABLE",
+                            "DEADLINE_EXCEEDED", "response body")
+            )
+            if attempt == 2 or not transient:
+                raise
+            print(f"# warmup attempt {attempt + 1} failed "
+                  f"(transient: {type(e).__name__}); retrying",
+                  file=sys.stderr)
+            time.sleep(5.0)
+    state = warm
 
     n_steps = int(os.environ.get("PACE_BENCH_STEPS", "10"))
     t0 = time.perf_counter()

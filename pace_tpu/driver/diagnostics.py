@@ -28,9 +28,12 @@ class DiagnosticsConfig:
     Attributes:
         path: directory to save diagnostics into; no diagnostics are stored
             if unset
-        output_format: only "npz" is supported
+        output_format: "npz" or "netcdf" (NetCDF3 64-bit-offset via scipy,
+            chunked time-series files as in the reference NetCDFMonitor)
         names: state variables to save
-        derived_names: derived diagnostics to save (supported: none yet)
+        derived_names: derived diagnostics to save; supported:
+            column_integrated_<tracer> (kg/m**2, reference
+            driver/pace/driver/diagnostics.py:227-252)
         z_select: save a vertical slice of a 3D state
         output_initial_state: save the state before the first step
         output_frequency: timesteps between outputs
@@ -49,14 +52,23 @@ class DiagnosticsConfig:
             raise ValueError(
                 "DiagnosticsConfig.path must be given to enable diagnostics"
             )
-        if self.output_format != "npz":
+        if self.output_format not in ("npz", "netcdf"):
             raise ValueError(
-                f"output_format must be 'npz', got {self.output_format}"
+                "output_format must be 'npz' or 'netcdf', "
+                f"got {self.output_format}"
             )
+        for name in self.derived_names:
+            if not name.startswith("column_integrated_"):
+                raise ValueError(
+                    f"unsupported derived diagnostic {name!r}; supported: "
+                    "column_integrated_<tracer>"
+                )
 
     def diagnostics_factory(self, sizing=None) -> "Diagnostics":
         if self.path is None:
             return NullDiagnostics()
+        if self.output_format == "netcdf":
+            return NetCDFDiagnostics(self, sizing)
         return NpzDiagnostics(self, sizing)
 
 
@@ -106,17 +118,30 @@ class NpzDiagnostics(Diagnostics):
             pass
         return arr[:, h:h + ni, h:h + nj]
 
-    def store(self, time, state):
+    def _collect(self, state):
+        """Gather the configured (and derived) variables, halo-stripped."""
         out = {}
         for name in self.config.names:
             arr = np.asarray(jax.device_get(getattr(state, name)))
             out[name] = self._compute_domain(arr, name)
+        for name in self.config.derived_names:
+            tracer = name[len("column_integrated_"):]
+            out[name] = self._compute_domain(
+                _column_integral(
+                    getattr(state, tracer), state.delp
+                ),
+                tracer,
+            )
         for zs in self.config.z_select:
             for name in zs.names:
                 arr = np.asarray(jax.device_get(getattr(state, name)))
                 out[f"{name}_z{zs.level}"] = self._compute_domain(
                     arr[..., zs.level], name
                 )
+        return out
+
+    def store(self, time, state):
+        out = self._collect(state)
         if time is not None:
             out["time"] = np.asarray(str(time))
         fname = os.path.join(
@@ -135,3 +160,45 @@ class NpzDiagnostics(Diagnostics):
             lat_agrid=np.asarray(jax.device_get(hz.lat_agrid)),
             area=np.asarray(jax.device_get(hz.area)),
         )
+
+
+def _column_integral(q, delp) -> np.ndarray:
+    """Column-integrated tracer path in kg/m**2: sum_k q*delp / g
+    (reference driver/pace/driver/diagnostics.py:227-252)."""
+    from pace_tpu.utils.constants import GRAV
+
+    q = np.asarray(jax.device_get(q))
+    delp = np.asarray(jax.device_get(delp))
+    return (q * delp).sum(axis=-1) / GRAV
+
+
+class NetCDFDiagnostics(NpzDiagnostics):
+    """Diagnostics through the chunked NetCDF3 time-series monitor
+    (reference monitor/netcdf_monitor.py:104); shares variable collection
+    (incl. derived and z-select) with the npz path."""
+
+    def __init__(self, config: DiagnosticsConfig, sizing=None):
+        from pace_tpu.utils.netcdf import NetCDFMonitor
+
+        super().__init__(config, sizing)
+        self._monitor = NetCDFMonitor(config.path)
+
+    def store(self, time, state):
+        out = self._collect(state)
+        out["time"] = time
+        self._monitor.store(out)
+
+    def store_grid(self, grid_data):
+        from pace_tpu.utils.netcdf import write_dataset
+
+        hz = grid_data.horizontal
+        write_dataset(
+            os.path.join(self.config.path, "grid.nc"),
+            {
+                name: np.asarray(jax.device_get(getattr(hz, name)))
+                for name in ("lon", "lat", "lon_agrid", "lat_agrid", "area")
+            },
+        )
+
+    def cleanup(self):
+        self._monitor.cleanup()

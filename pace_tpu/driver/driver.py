@@ -57,6 +57,17 @@ class MeshConfig:
 
 
 @dataclasses.dataclass
+class GridConfig:
+    """Generated-grid options (reference driver/pace/driver/grid.py:82
+    GeneratedGridConfig): Schmidt stretching and vertical-table override."""
+
+    stretch_factor: Optional[float] = None
+    lon_target: float = 350.0
+    lat_target: float = -90.0
+    eta_file: Optional[str] = None
+
+
+@dataclasses.dataclass
 class DriverConfig:
     """Configuration for a model run (reference driver.py:46-210).
 
@@ -66,6 +77,7 @@ class DriverConfig:
         nz: vertical levels
         dt_atmos: timestep (s)
         mesh: device-mesh layout (replaces the reference's MPI layout)
+        grid_config: stretched-grid / eta-file options
         dtype: "float32" (TPU production) or "float64"
     """
 
@@ -74,6 +86,7 @@ class DriverConfig:
     nz: int
     dt_atmos: float
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    grid_config: GridConfig = dataclasses.field(default_factory=GridConfig)
     diagnostics_config: diag_mod.DiagnosticsConfig = dataclasses.field(
         default_factory=diag_mod.DiagnosticsConfig
     )
@@ -138,8 +151,12 @@ class Driver:
 
         with self.performance_collector.total_timer.clock("initialization"):
             sizing = GridSizing(config.nx_tile, config.nz)
+            gc = config.grid_config
             grid_data = generate_grid_data(
-                config.nx_tile, config.nz, dtype=dtype
+                config.nx_tile, config.nz, dtype=dtype,
+                stretch_factor=gc.stretch_factor,
+                lon_target=gc.lon_target, lat_target=gc.lat_target,
+                eta_file=gc.eta_file,
             )
             dycore_state = config.initialization.get_dycore_state(
                 sizing, dtype
@@ -227,7 +244,12 @@ class Driver:
             self.state.dycore_state = jax.tree_util.tree_map(
                 shard, self.state.dycore_state
             )
-        return jax.jit(step)
+        # donate the input state: in and out states have identical
+        # pytree structure/shapes, so XLA reuses the buffers in place —
+        # roughly halves the state footprint per step (the C192 memory
+        # lever, BASELINE.md north star 4).  The step loop never reads a
+        # state after stepping it (diagnostics read the returned state).
+        return jax.jit(step, donate_argnums=0)
 
     def step_all(self):
         config = self.config

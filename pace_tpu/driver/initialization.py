@@ -90,6 +90,52 @@ class TropicalCycloneConfig(Initializer):
         return init_tc_state(sizing, dtype=dtype)
 
 
+@InitializerSelector.register("fortran_restart")
+@dataclasses.dataclass
+class FortranRestartInit(Initializer):
+    """Start from legacy Fortran FMS `.res` tile restart files
+    (fv_core.res.tile*.nc etc.), the analogue of the reference's
+    `fortran_restart` initializer (driver/pace/driver/
+    initialization.py:225 FortranRestartInit) backed by
+    utils/legacy_restart.open_restart."""
+
+    path: str = "RESTART"
+    label: str = ""
+    start_time_str: Optional[str] = None  # coupler.res wins when present
+
+    @property
+    def start_time(self) -> datetime:
+        if self.start_time_str is not None:
+            return datetime.fromisoformat(self.start_time_str)
+        import os
+
+        from pace_tpu.utils.legacy_restart import (
+            COUPLER_RES_NAME,
+            get_current_date_from_coupler_res,
+        )
+
+        coupler = os.path.join(self.path, COUPLER_RES_NAME)
+        if os.path.exists(coupler):
+            return get_current_date_from_coupler_res(coupler)
+        return datetime(2000, 1, 1)
+
+    def get_dycore_state(self, sizing, dtype):
+        from pace_tpu.models.fv3.state import DycoreState
+        from pace_tpu.utils.legacy_restart import open_restart
+
+        arrays = open_restart(
+            self.path, sizing, label=self.label, dtype=None
+        )
+        arrays.pop("time", None)
+        # surface-wind diagnostics are not DycoreState fields
+        arrays.pop("u_srf", None)
+        arrays.pop("v_srf", None)
+        state = DycoreState.init_zeros(sizing, dtype=dtype)
+        return state.replace(
+            **{k: jnp.asarray(v, dtype) for k, v in arrays.items()}
+        )
+
+
 @InitializerSelector.register("restart")
 @dataclasses.dataclass
 class RestartInit(Initializer):

@@ -45,10 +45,15 @@ def main(argv=None):
                 config.n_timesteps())
     driver = Driver(config)
     logger.info("stepping %d timesteps", config.n_timesteps())
-    driver.step_all()
-    report = driver.cleanup()
-    if report:
-        logger.info("SYPD: %.4f", report.get("sypd", 0.0))
+    try:
+        driver.step_all()
+    finally:
+        # flush perf JSON / diagnostics / restart even on a crash, so a
+        # failed run leaves a resumable state behind (reference
+        # driver/pace/driver/run.py:89-92 try/finally cleanup)
+        report = driver.cleanup()
+        if report:
+            logger.info("SYPD: %.4f", report.get("sypd", 0.0))
     logger.info("done")
     return 0
 

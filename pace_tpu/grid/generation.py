@@ -239,9 +239,23 @@ def generate_grid_data(
     nz: int,
     halo: int = N_HALO_DEFAULT,
     dtype=jnp.float32,
+    stretch_factor: float = None,
+    lon_target: float = 350.0,
+    lat_target: float = -90.0,
+    eta_file: str = None,
 ) -> GridData:
-    raw = _generate_metric_terms(n, halo)
-    vertical = eta.set_hybrid_pressure_coefficients(nz)
+    """Generate the full metric-term bundle.
+
+    stretch_factor/lon_target/lat_target apply the Schmidt stretched-grid
+    transformation (grid/stretch_transformation.py) to the gnomonic grid
+    before any metric is derived; eta_file overrides the built-in ak/bk
+    vertical tables — the knobs of the reference's GeneratedGridConfig
+    (driver/pace/driver/grid.py:82-140)."""
+    raw = _generate_metric_terms(
+        n, halo, stretch_factor=stretch_factor,
+        lon_target=lon_target, lat_target=lat_target,
+    )
+    vertical = eta.set_hybrid_pressure_coefficients(nz, eta_file=eta_file)
 
     def conv(x):
         # Padded/undefined cells of some metric terms (agrid-derived fields,
@@ -279,7 +293,10 @@ def generate_grid_data(
 
 
 @functools.lru_cache(maxsize=4)
-def _generate_metric_terms(n: int, halo: int):
+def _generate_metric_terms(
+    n: int, halo: int, stretch_factor: float = None,
+    lon_target: float = 350.0, lat_target: float = -90.0,
+):
     topo = get_topology(n, halo)
     h = halo
     N = topo.N
@@ -299,6 +316,16 @@ def _generate_metric_terms(n: int, halo: int):
     # shift the corner away from Japan (reference generation.py:1604-1610)
     lon_c = lon_c - PI / 18.0
     lon_c = np.where(lon_c < 0, lon_c + 2 * PI, lon_c)
+    if stretch_factor is not None and stretch_factor != 1.0:
+        # Schmidt stretch on the D-grid corners; every metric below is
+        # derived from these, so the transform propagates everywhere
+        # (reference driver/pace/driver/grid.py:109 + generation.py)
+        from pace_tpu.grid.stretch_transformation import direct_transform
+
+        lon_c, lat_c = direct_transform(
+            lon=lon_c, lat=lat_c, stretch_factor=stretch_factor,
+            lon_target=lon_target, lat_target=lat_target,
+        )
     grid = np.zeros((6, N, N, 2))
     grid[:, h:h + n + 1, h:h + n + 1, 0] = lon_c
     grid[:, h:h + n + 1, h:h + n + 1, 1] = lat_c

@@ -27,6 +27,7 @@ from pace_tpu.ops import saturation_adjustment as satadj
 from pace_tpu.parallel import halo as halo_mod
 from pace_tpu.parallel.topology import get_topology
 from pace_tpu.utils import constants
+from pace_tpu.utils.debug import nancheck
 from pace_tpu.utils.gridtools import GridSizing
 
 
@@ -80,6 +81,7 @@ def fv_dynamics(
     s["q_con"] = q_con
     s["pkz"] = pkz
     s["pt"] = s["pt"] * (1.0 + dp1) * (1.0 - q_con) / pkz
+    nancheck("fv_setup", n, h, pt=s["pt"], q_con=q_con, pkz=pkz)
 
     wsd = jnp.zeros_like(s["ps"])
     k_split = config.k_split
@@ -92,6 +94,8 @@ def fv_dynamics(
             s, cappa, gd, col, config, topo, n, h,
             timestep / k_split, n_map, wsd, vp,
         )
+        nancheck("acoustic_dynamics", n, h, u=s["u"], v=s["v"], w=s["w"],
+                 delp=s["delp"], pt=s["pt"], delz=s["delz"])
 
         if config.z_tracer:
             advected = {name: s[name] for name in TRACER_NAMES[:NQ]}
@@ -100,6 +104,8 @@ def fv_dynamics(
                 s["cyd"], gd, topo, n, h, config.hord_tr,
             )
             s.update(advected)
+            nancheck("tracer_advection", n, h,
+                     **{k: advected[k] for k in list(advected)[:3]})
         else:
             raise NotImplementedError("z_tracer=False")
 
@@ -125,6 +131,9 @@ def fv_dynamics(
                      "pkz", "pk", "pe", "ps"):
             s[name] = out[name]
         cappa = out["cappa"]
+        nancheck("lagrangian_to_eulerian", n, h, pt=s["pt"],
+                 delp=s["delp"], u=s["u"], v=s["v"], w=s["w"],
+                 pkz=s["pkz"])
 
         if last_step:
             # omega from w, then hyperdiffuse it
@@ -151,5 +160,6 @@ def fv_dynamics(
     )
     s["ua"], s["va"] = ua, va
     s["u"], s["v"] = u, v
+    nancheck("cubed_to_latlon", n, h, ua=ua, va=va, pt=s["pt"])
 
     return DycoreState(**s)

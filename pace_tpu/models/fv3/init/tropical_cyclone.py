@@ -128,13 +128,32 @@ def _edge_wind(lon1, lat1, lon2, lat2, ak, bk, calc, nz):
     return np.where(height > TC["ztrop"], 0.0, proj)
 
 
-def init_tc_state(sizing: GridSizing, dtype=jnp.float32) -> DycoreState:
-    """Build a DycoreState for the tropical cyclone test case."""
+def init_tc_state(
+    sizing: GridSizing, dtype=jnp.float32, ak=None, bk=None,
+) -> DycoreState:
+    """Build a DycoreState for the tropical cyclone test case.
+
+    The analytic column is integrated against whatever ak/bk table is
+    provided (like the reference, which accepts any vertical grid): the
+    SHiELD TC 79-level table is the default; other level counts fall back
+    to the standard hybrid tables (grid/eta.py) or explicit ak/bk."""
     n, h, nz, N = sizing.n, sizing.halo, sizing.nz, sizing.N
-    if nz != 79:
-        raise NotImplementedError("TC test case is defined for 79 levels")
-    data = np.load(_DATA)
-    ak, bk = data["ak"], data["bk"]
+    if ak is None or bk is None:
+        if nz == 79:
+            data = np.load(_DATA)
+            ak, bk = data["ak"], data["bk"]
+        else:
+            from pace_tpu.grid import eta
+
+            coeffs = eta.set_hybrid_pressure_coefficients(nz)
+            ak, bk = coeffs.ak, coeffs.bk
+    ak = np.asarray(ak, np.float64)
+    bk = np.asarray(bk, np.float64)
+    if ak.shape != (nz + 1,) or bk.shape != (nz + 1,):
+        raise ValueError(
+            f"ak/bk must have length nz+1={nz + 1}, "
+            f"got {ak.shape}/{bk.shape}"
+        )
     calc = _calc()
     raw = _generate_metric_terms(n, h)
     lon = raw["horizontal"]["lon"]

@@ -22,6 +22,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from pace_tpu.parallel import copyops
+
 
 def _corner_anchors(n: int, h: int):
     """Anchor indices in storage coordinates: first/last compute cell and
@@ -93,8 +95,17 @@ def copy_corners_perm(n: int, h: int, N: int, direction: str):
     return _as_permutation(N, _copy_corners_table(n, h, direction))
 
 
+@functools.lru_cache(maxsize=None)
+def _copy_corners_ops(n: int, h: int, N: int, direction: str):
+    ti, tj, si, sj = _copy_corners_table(n, h, direction)
+    return copyops.fit_copy_ops_by_quadrant(ti, tj, si, sj, N)
+
+
 def copy_corners(q: jnp.ndarray, n: int, h: int, direction: str) -> jnp.ndarray:
     """Fortran copy_corners_x / copy_corners_y on a (6, N, N, ...) field."""
+    if copyops.structured_enabled():
+        ops = _copy_corners_ops(n, h, q.shape[1], direction)
+        return copyops.apply_copy_ops((q,), q, ops)
     SI, SJ = copy_corners_perm(n, h, q.shape[1], direction)
     return q[:, SI, SJ]
 
@@ -144,8 +155,18 @@ def _fill_corners_2d_perm(n: int, h: int, N: int, gridtype: str,
     return _as_permutation(N, _fill_corners_2d_table(n, h, gridtype, direction))
 
 
+@functools.lru_cache(maxsize=None)
+def _fill_corners_2d_ops(n: int, h: int, N: int, gridtype: str,
+                         direction: str):
+    ti, tj, si, sj = _fill_corners_2d_table(n, h, gridtype, direction)
+    return copyops.fit_copy_ops_by_quadrant(ti, tj, si, sj, N)
+
+
 def fill_corners_2d(q: jnp.ndarray, n: int, h: int, gridtype: str,
                     direction: str = "x") -> jnp.ndarray:
+    if copyops.structured_enabled():
+        ops = _fill_corners_2d_ops(n, h, q.shape[1], gridtype, direction)
+        return copyops.apply_copy_ops((q,), q, ops)
     SI, SJ = _fill_corners_2d_perm(n, h, q.shape[1], gridtype, direction)
     return q[:, SI, SJ]
 
@@ -241,6 +262,21 @@ def _fill_corners_vector_perm(n: int, h: int, N: int, grid: str):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _fill_corners_vector_ops(n: int, h: int, N: int, grid: str,
+                             vector: bool):
+    mysign = -1.0 if vector else 1.0
+    tables = _fill_corners_vector_tables(n, h, grid)
+    out = []
+    for tgt_arr in (0, 1):
+        ti, tj, si, sj, sa, sg = tables[tgt_arr]
+        sign = np.where(sg == 1, mysign, 1.0)
+        out.append(copyops.fit_copy_ops_by_quadrant(
+            ti, tj, si, sj, N, comp=sa, sign=sign,
+        ))
+    return tuple(out)
+
+
 def fill_corners_vector(
     x: jnp.ndarray, y: jnp.ndarray, n: int, h: int, grid: str,
     vector: bool = True,
@@ -252,6 +288,12 @@ def fill_corners_vector(
     metric pairs like (dx, dy).  Whole-array permutation gathers + masked
     select: scatter-free (XLA SPMD mispartitions scatters,
     docs/KNOWN_ISSUES.md) and faster than .at[].set on TPU."""
+    if copyops.structured_enabled():
+        ops0, ops1 = _fill_corners_vector_ops(n, h, x.shape[1], grid, vector)
+        return (
+            copyops.apply_copy_ops((x, y), x, ops0),
+            copyops.apply_copy_ops((x, y), y, ops1),
+        )
     perms = _fill_corners_vector_perm(n, h, x.shape[1], grid)
     mysign = -1.0 if vector else 1.0
     extra = (1,) * (x.ndim - 3)
@@ -313,12 +355,34 @@ def _fill_corners_cells_perm(n: int, h: int, N: int, direction: str,
     return SI, SJ, CID
 
 
+@functools.lru_cache(maxsize=None)
+def _fill_corners_cells_ops(n: int, h: int, N: int, direction: str,
+                            ncells: int):
+    """Per-corner CopyOps (sign=1); corner id recoverable from the dest
+    rect's quadrant so call-time multipliers can be applied."""
+    ti, tj, si, sj, cid = _fill_corners_cells_table(n, h, direction, ncells)
+    ops = {}
+    for c in range(4):
+        sel = cid == c
+        ops[c] = copyops.fit_copy_op(ti[sel], tj[sel], si[sel], sj[sel])
+    return tuple(ops[c] for c in range(4))
+
+
 def fill_corners_cells(
     q: jnp.ndarray, q_corner: jnp.ndarray, n: int, h: int, direction: str,
     ncells: int, sw_mult=1.0, se_mult=1.0, nw_mult=1.0, ne_mult=1.0,
 ) -> jnp.ndarray:
     """fill_corners_{2,3}cells_mult_{x,y}: write rotated companion-field data
     into `ncells` corner halo cells of q (scatter-free gather + select)."""
+    if copyops.structured_enabled():
+        import dataclasses as _dc
+
+        base = _fill_corners_cells_ops(n, h, q.shape[1], direction, ncells)
+        mults = (sw_mult, se_mult, nw_mult, ne_mult)
+        ops = tuple(
+            _dc.replace(op, sign=float(m)) for op, m in zip(base, mults)
+        )
+        return copyops.apply_copy_ops((q_corner,), q, ops)
     SI, SJ, CID = _fill_corners_cells_perm(n, h, q.shape[1], direction,
                                            ncells)
     mult_map = np.ones(CID.shape)

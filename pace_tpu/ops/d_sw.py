@@ -89,7 +89,7 @@ def _make_transport(crx, cry, xfx, yfx, gd, n, h):
     from pace_tpu.ops import corners as corner_ops
     from pace_tpu.ops.pallas import fvtp2d_pallas
 
-    use_pallas = fvtp2d_pallas.enabled()
+    use_pallas = fvtp2d_pallas.enabled(crx.dtype)
     hz = gd.horizontal
 
     def transport(qs, hord, xmf=None, ymf=None):

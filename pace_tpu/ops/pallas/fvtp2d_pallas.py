@@ -34,8 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 from pace_tpu.ops import xppm
 
 
-def enabled() -> bool:
-    """Pallas kernels on by default on TPU; PACE_PALLAS=0/1 overrides."""
+def enabled(dtype=None) -> bool:
+    """Pallas kernels on by default on TPU; PACE_PALLAS=0/1 overrides.
+    Mosaic has no 64-bit support, so f64 runs (e.g. golden-digest
+    verification on a TPU host) always take the jnp path."""
+    if dtype is not None and jnp.dtype(dtype).itemsize >= 8:
+        return False
     env = os.environ.get("PACE_PALLAS")
     if env is not None:
         return env == "1"

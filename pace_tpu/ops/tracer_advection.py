@@ -73,14 +73,31 @@ def tracer_advection(
     # gathers (topology.scalar_corner_specs) — the transport never needs the
     # bare halo-updated field, only its corner-copied variants, and q_y
     # equals it everywhere outside the corner wedges.
-    spec_y, spec_x = topo.scalar_corner_specs()
     stacked = jnp.stack([tracers[name] for name in names])
-    gather_y = jax.vmap(lambda q: halo_mod.halo_update_scalar(q, spec_y))
-    gather_x = jax.vmap(lambda q: halo_mod.halo_update_scalar(q, spec_x))
+    from pace_tpu.parallel import copyops
+
+    if copyops.structured_enabled():
+        # multi-chip lowering: structured halo + corner stages (static
+        # slice copies -> neighbor collective-permutes under SPMD); q_x is
+        # one extra corner stage on top of q_y (spec_x = corner_x o
+        # corner_y o halo), so feed q_y into gather_x.
+        from pace_tpu.ops import corners as corners_mod
+
+        center = topo.scalar_spec("center")
+        gather_y = jax.vmap(lambda q: corners_mod.copy_corners(
+            halo_mod.halo_update_scalar(q, center), n, h, "y"))
+        gather_x = jax.vmap(
+            lambda q: corners_mod.copy_corners(q, n, h, "x"))
+        x_from_y = True
+    else:
+        spec_y, spec_x = topo.scalar_corner_specs()
+        gather_y = jax.vmap(lambda q: halo_mod.halo_update_scalar(q, spec_y))
+        gather_x = jax.vmap(lambda q: halo_mod.halo_update_scalar(q, spec_x))
+        x_from_y = False
 
     from pace_tpu.ops.pallas import fvtp2d_pallas
 
-    use_pallas = fvtp2d_pallas.enabled()
+    use_pallas = fvtp2d_pallas.enabled(dp1.dtype)
 
     def transport_fluxes(qy8, qx8):
         if use_pallas:
@@ -104,7 +121,8 @@ def tracer_advection(
             + y_mass_flux - shift(y_mass_flux, 0, 1)
         ) * rarea
         qy8 = gather_y(stacked)
-        fx8, fy8 = transport_fluxes(qy8, gather_x(stacked))
+        fx8, fy8 = transport_fluxes(
+            qy8, gather_x(qy8 if x_from_y else stacked))
         stacked = (
             qy8 * dp1
             + (fx8 - shift_b(fx8, 1) + fy8 - shift_b(fy8, 0, 1)) * rarea

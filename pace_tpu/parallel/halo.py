@@ -18,15 +18,20 @@ from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 
+from pace_tpu.parallel import copyops
+from pace_tpu.parallel.copyops import apply_copy_ops as _apply_copy_ops
 from pace_tpu.parallel.topology import CubedSphereTopology, HaloSpec
 
-# The packed (halo-strip scatter) form is bitwise-equivalent to the full
-# gather per call (tests/test_topology.py) and saves ~6% HBM traffic, but
-# large C48 TPU graphs using it produced NaN at tile corners while the
-# full-gather form is clean — another backend miscompilation of
-# scatter-chains in big fusions (see docs/KNOWN_ISSUES.md).  Off by
-# default until the TPU lowering is understood.
-USE_PACKED_HALO = os.environ.get("PACE_PACKED_HALO", "0") == "1"
+# Halo-update lowering is selected by PACE_HALO (see parallel/copyops.py):
+# "gather" (default), "ppermute" (CopyOp decomposition, SPMD-friendly),
+# "packed" (legacy strip gathers; PACE_PACKED_HALO=1 alias).  The mode is
+# read from copyops.HALO_MODE at call time so tests can flip it.
+USE_PACKED_HALO = copyops.HALO_MODE == "packed"
+
+# Active halo-traffic recorder (parallel/traffic.py HaloTrafficRecorder —
+# the CachingComm record/replay analogue).  None in production; set via
+# the recorder's context manager for eager debug runs.
+_RECORDER = None
 
 
 def _expand(idx, ndim_extra):
@@ -39,6 +44,13 @@ def halo_update_scalar(q: jnp.ndarray, spec: HaloSpec) -> jnp.ndarray:
 
     Uses the packed strip form (only halo points move) — the dycore is
     HBM-bound, so not rewriting the interior matters."""
+    if _RECORDER is not None and _RECORDER.mode == "replay":
+        return _RECORDER.substitute(q, spec)
+    if copyops.structured_enabled() and spec.structured is not None:
+        out = _apply_copy_ops((q,), q, spec.structured)
+        if _RECORDER is not None:
+            _RECORDER.on_result(out, spec)
+        return out
     if USE_PACKED_HALO and spec.packed is not None:
         from jax import lax
 
@@ -48,8 +60,13 @@ def halo_update_scalar(q: jnp.ndarray, spec: HaloSpec) -> jnp.ndarray:
             out = lax.dynamic_update_slice(
                 out, q[st, si, sj], (0, i0, j0) + zeros
             )
+        if _RECORDER is not None:
+            _RECORDER.on_result(out, spec)
         return out
-    return q[spec.src_tile, spec.src_i, spec.src_j]
+    out = q[spec.src_tile, spec.src_i, spec.src_j]
+    if _RECORDER is not None:
+        _RECORDER.on_result(out, spec)
+    return out
 
 
 def halo_update_scalars(
@@ -81,6 +98,15 @@ def halo_update_vector(
 
 def _vector_gather(u, v, spec: HaloSpec, apply_sign: bool = True):
     ndim_extra = u.ndim - 3
+    if _RECORDER is not None and _RECORDER.mode == "replay":
+        own = u if spec.kind.startswith(("vector0", "ifsync0")) else v
+        return _RECORDER.substitute(own, spec)
+    if copyops.structured_enabled() and spec.structured is not None:
+        own = u if spec.kind.startswith(("vector0", "ifsync0")) else v
+        out = _apply_copy_ops((u, v), own, spec.structured, apply_sign)
+        if _RECORDER is not None:
+            _RECORDER.on_result(out, spec)
+        return out
     if USE_PACKED_HALO and spec.packed is not None:
         # strip-gather + slice-write into the own-component array
         from jax import lax
@@ -99,6 +125,8 @@ def _vector_gather(u, v, spec: HaloSpec, apply_sign: bool = True):
             out = lax.dynamic_update_slice(
                 out, vals, (0, i0, j0) + zeros
             )
+        if _RECORDER is not None:
+            _RECORDER.on_result(out, spec)
         return out
     from_u = u[spec.src_tile, spec.src_i, spec.src_j]
     from_v = v[spec.src_tile, spec.src_i, spec.src_j]
@@ -106,6 +134,8 @@ def _vector_gather(u, v, spec: HaloSpec, apply_sign: bool = True):
     out = jnp.where(comp == 0, from_u, from_v)
     if apply_sign:
         out = _expand(spec.sign, ndim_extra).astype(u.dtype) * out
+    if _RECORDER is not None:
+        _RECORDER.on_result(out, spec)
     return out
 
 

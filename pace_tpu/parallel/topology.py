@@ -214,6 +214,9 @@ def _region_of(x, y, n, halo):
     return region
 
 
+from pace_tpu.parallel.copyops import CopyOp  # noqa: E402
+
+
 @dataclasses.dataclass(frozen=True)
 class HaloSpec:
     """Precomputed gather map for one staggering/vector kind. All index
@@ -222,7 +225,10 @@ class HaloSpec:
     The `packed_*` fields are the bandwidth-efficient form: flat index
     lists covering ONLY the points whose value changes (halo strips), so a
     halo update scatters ~(4*n*halo) points per tile instead of rewriting
-    the whole array — the dycore is HBM-bound, so this matters."""
+    the whole array — the dycore is HBM-bound, so this matters.
+
+    `structured` is the slice/transpose/flip decomposition (CopyOp list),
+    the multi-chip-friendly form (PACE_HALO=ppermute)."""
 
     kind: str
     src_tile: jnp.ndarray
@@ -233,6 +239,41 @@ class HaloSpec:
     sign: jnp.ndarray | None = None
     valid: jnp.ndarray | None = None  # False in corner wedges
     packed: tuple | None = None  # (tt, ti, tj, st, si, sj[, comp, sign])
+    structured: Tuple[CopyOp, ...] | None = None
+
+
+def _rect_of_mask(mask: np.ndarray) -> Tuple[int, int, int, int]:
+    """Bounding box (i0, i1, j0, j1) of a mask that must be a full
+    rectangle (guaranteed by the cubed-sphere edge-region geometry)."""
+    rows = np.where(mask.any(axis=1))[0]
+    cols = np.where(mask.any(axis=0))[0]
+    i0, i1 = int(rows[0]), int(rows[-1] + 1)
+    j0, j1 = int(cols[0]), int(cols[-1] + 1)
+    assert mask[i0:i1, j0:j1].all(), "edge region is not rectangular"
+    assert mask.sum() == (i1 - i0) * (j1 - j0)
+    return i0, i1, j0, j1
+
+
+def _copy_op_from_tables(
+    t: int, mask: np.ndarray, A: np.ndarray,
+    src_t: np.ndarray, si: np.ndarray, sj: np.ndarray,
+    comp: int = 0, sign: float = 1.0,
+) -> CopyOp:
+    """Express the affine gather restricted to a rectangular edge region
+    as a CopyOp (shared fitter in parallel/copyops.py verifies the
+    decomposition reproduces the index tables exactly)."""
+    from pace_tpu.parallel.copyops import fit_copy_op
+
+    i0, i1, j0, j1 = _rect_of_mask(mask)
+    nbr = int(src_t[i0, j0])
+    assert (src_t[i0:i1, j0:j1] == nbr).all(), "source tile varies in rect"
+    I, J = np.meshgrid(np.arange(i0, i1), np.arange(j0, j1), indexing="ij")
+    op = fit_copy_op(
+        I.ravel(), J.ravel(),
+        si[i0:i1, j0:j1].ravel(), sj[i0:i1, j0:j1].ravel(),
+        comp=comp, sign=sign, all_tiles=False,
+    )
+    return dataclasses.replace(op, dst_tile=t, src_tile=nbr)
 
 
 def _pack_spec(spec: HaloSpec, own_comp=None) -> HaloSpec:
@@ -398,6 +439,7 @@ class CubedSphereTopology:
     def _build_scalar(self, stagger: str) -> HaloSpec:
         ox, oy = _STAGGER_OFFSETS[stagger]
         specs_t, specs_i, specs_j, valid = [], [], [], []
+        copy_ops = []
         for t in range(6):
             x, y, I, J = self._point_coords(stagger)
             region = _region_of(x, y, self.n, self.halo)
@@ -413,6 +455,14 @@ class CubedSphereTopology:
             # guard: all source indices in range
             assert si.min() >= 0 and si.max() < self.N
             assert sj.min() >= 0 and sj.max() < self.N
+            for region_id, edge in ((1, WEST), (2, EAST), (3, SOUTH),
+                                    (4, NORTH)):
+                mask = region == region_id
+                if mask.any():
+                    copy_ops.append(_copy_op_from_tables(
+                        t, mask, self.transforms[(t, edge)].a_matrix,
+                        st, si, sj,
+                    ))
             specs_t.append(st); specs_i.append(si); specs_j.append(sj)
             valid.append(ok)
         return HaloSpec(
@@ -421,6 +471,7 @@ class CubedSphereTopology:
             src_i=np.stack(specs_i).astype(np.int32),
             src_j=np.stack(specs_j).astype(np.int32),
             valid=np.stack(valid),
+            structured=tuple(copy_ops),
         )
 
     def _build_vector(self, u_stagger: str, v_stagger: str) -> HaloSpec:
@@ -450,6 +501,7 @@ class CubedSphereTopology:
         u_off = _STAGGER_OFFSETS[u_stagger]
         v_off = _STAGGER_OFFSETS[v_stagger]
         all_t, all_i, all_j, all_c, all_s, valid = [], [], [], [], [], []
+        copy_ops = []
         for t in range(6):
             x, y, I, J = self._point_coords(stagger)
             region = _region_of(x, y, self.n, self.halo)
@@ -484,6 +536,10 @@ class CubedSphereTopology:
                 src_t[mask] = tr.neighbor
                 sc[mask] = nbr_comp
                 sg[mask] = sign
+                copy_ops.append(_copy_op_from_tables(
+                    t, mask, A, src_t, si, sj,
+                    comp=nbr_comp, sign=sign,
+                ))
             ok = region != 5
             assert si.min() >= 0 and si.max() < self.N
             assert sj.min() >= 0 and sj.max() < self.N
@@ -497,6 +553,7 @@ class CubedSphereTopology:
             src_comp=np.stack(all_c).astype(np.int32),
             sign=np.stack(all_s).astype(np.float32),
             valid=np.stack(valid),
+            structured=tuple(copy_ops),
         )
 
     # -- interface-edge ownership -------------------------------------------
@@ -532,6 +589,7 @@ class CubedSphereTopology:
         u_off = _STAGGER_OFFSETS[u_stagger]
         v_off = _STAGGER_OFFSETS[v_stagger]
         all_t, all_i, all_j, all_c, all_s = [], [], [], [], []
+        copy_ops = []
         n = self.n
         for t in range(6):
             x, y, I, J = self._point_coords(stagger)
@@ -566,6 +624,10 @@ class CubedSphereTopology:
                 src_t[mask] = tr.neighbor
                 sc[mask] = nbr_comp
                 sg[mask] = sign
+                copy_ops.append(_copy_op_from_tables(
+                    t, mask, A, src_t, si, sj,
+                    comp=nbr_comp, sign=sign,
+                ))
             all_t.append(src_t); all_i.append(si); all_j.append(sj)
             all_c.append(sc); all_s.append(sg)
         return HaloSpec(
@@ -575,6 +637,7 @@ class CubedSphereTopology:
             src_j=np.stack(all_j).astype(np.int32),
             src_comp=np.stack(all_c).astype(np.int32),
             sign=np.stack(all_s).astype(np.float32),
+            structured=tuple(copy_ops),
         )
 
 

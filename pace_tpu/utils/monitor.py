@@ -16,6 +16,13 @@ import jax
 import numpy as np
 
 
+from pace_tpu.utils.netcdf import (  # noqa: F401  (re-export: interop path)
+    NetCDFMonitor,
+    read_state as read_state_netcdf,
+    write_state as write_state_netcdf,
+)
+
+
 class Monitor:
     def store(self, state: dict) -> None:
         raise NotImplementedError

@@ -22,13 +22,10 @@ N, NZ, H = 12, 79, 3
 
 
 @pytest.fixture(scope="module")
-def stepped_state():
-    sz = GridSizing(N, NZ)
-    gd = generate_grid_data(N, NZ, dtype=jnp.float64)
-    state = init_baroclinic_state(sz, dtype=jnp.float64)
-    config = DynamicalCoreConfig(do_sat_adj=False)
-    core = DynamicalCore(config, sz, gd, timestep=225.0)
-    return core.step_dynamics(state)
+def stepped_state(c12_f64_run):
+    # one shared jitted run (tests/conftest.py) — state after step 1
+    _, _, _, states = c12_f64_run
+    return states[0]
 
 
 def compute(q):
@@ -61,17 +58,16 @@ class TestDycoreStep:
         ps = compute(stepped_state.ps)
         np.testing.assert_allclose(ps, 1.0e5, rtol=2e-3)
 
-    def test_global_mass_conserved(self, stepped_state):
+    def test_global_mass_conserved(self, stepped_state, c12_f64_run):
         """Total delp-weighted mass must be conserved to roundoff."""
-        sz = GridSizing(N, NZ)
-        gd = generate_grid_data(N, NZ, dtype=jnp.float64)
-        state0 = init_baroclinic_state(sz, dtype=jnp.float64)
+        _, gd, state0, _ = c12_f64_run
         area = np.asarray(gd.horizontal.area)[:, H:H + N, H:H + N, None]
         m0 = (np.asarray(state0.delp)[:, H:H + N, H:H + N] * area).sum()
         m1 = (compute(stepped_state.delp) * area).sum()
         np.testing.assert_allclose(m1, m0, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_91_level_step():
     """The 91-level ak/bk table drives a valid step (smaller smoke than
     the 79-level fixtures; one step, interior finite)."""

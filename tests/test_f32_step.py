@@ -21,15 +21,10 @@ from pace_tpu.utils.gridtools import GridSizing
 
 
 @pytest.fixture(scope="module")
-def f32_step():
-    sizing = GridSizing(12, 79)
-    gd = generate_grid_data(12, 79, dtype=jnp.float32)
-    core = DynamicalCore(
-        DynamicalCoreConfig(do_sat_adj=False), sizing, gd, timestep=225.0
-    )
-    state = init_baroclinic_state(sizing, dtype=jnp.float32)
-    out = jax.jit(core.step_dynamics)(state)
-    return state, out, sizing
+def f32_step(c12_f32_run):
+    # one shared jitted f32 run (tests/conftest.py) — state after step 1
+    sizing, _, _, state0, states = c12_f32_run
+    return state0, states[0], sizing
 
 
 def test_f32_interior_finite(f32_step):

@@ -334,3 +334,88 @@ def test_packed_halo_equivalence():
                 assert float(jnp.abs(a - b).max()) == 0.0, stags
     finally:
         halo_mod.USE_PACKED_HALO = old
+
+
+def test_structured_halo_equivalence(topo):
+    """The CopyOp (PACE_HALO=ppermute) decomposition is bitwise equal to
+    the gather form for every spec kind — the multi-chip halo lowering
+    (VERDICT r1 next-round #3; reference halo_updater.py:217-300)."""
+    from pace_tpu.parallel import copyops
+    from pace_tpu.parallel import halo as halo_mod
+
+    rng = np.random.RandomState(7)
+    Nn = topo.N
+    q = jnp.asarray(rng.randn(6, Nn, Nn, 2))
+    u = jnp.asarray(rng.randn(6, Nn, Nn, 2))
+    v = jnp.asarray(rng.randn(6, Nn, Nn, 2))
+
+    def both(fn):
+        old = copyops.HALO_MODE
+        try:
+            copyops.HALO_MODE = "gather"
+            a = fn()
+            copyops.HALO_MODE = "ppermute"
+            b = fn()
+        finally:
+            copyops.HALO_MODE = old
+        import jax
+
+        return max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda x, y: float(jnp.abs(x - y).max()), a, b)))
+
+    for stag in ("center", "corner"):
+        spec = topo.scalar_spec(stag)
+        assert spec.structured, stag
+        assert both(lambda s=spec: halo_mod.halo_update_scalar(q, s)) == 0.0
+    for us, vs in (("y_iface", "x_iface"), ("x_iface", "y_iface"),
+                   ("center", "center")):
+        assert both(
+            lambda us=us, vs=vs: halo_mod.halo_update_vector(topo, u, v, us, vs)
+        ) == 0.0
+        assert both(
+            lambda us=us, vs=vs: halo_mod.halo_update_staggered_pair(
+                topo, u, v, us, vs)
+        ) == 0.0
+    assert both(lambda: halo_mod.synchronize_vector_interfaces(
+        topo, u, v, "y_iface", "x_iface")) == 0.0
+
+
+def test_structured_corner_equivalence():
+    """Structured (CopyOp) corner fills are bitwise equal to the
+    permutation-gather forms for every variant."""
+    from pace_tpu.parallel import copyops
+    from pace_tpu.ops import corners as C
+
+    rng = np.random.RandomState(8)
+    n, h = 12, 3
+    Nn = 24
+    q = jnp.asarray(rng.randn(6, Nn, Nn, 2))
+    qc = jnp.asarray(rng.randn(6, Nn, Nn, 2))
+    x = jnp.asarray(rng.randn(6, Nn, Nn, 2))
+    y = jnp.asarray(rng.randn(6, Nn, Nn, 2))
+
+    def both(fn):
+        import jax
+
+        old = copyops.HALO_MODE
+        try:
+            copyops.HALO_MODE = "gather"
+            a = fn()
+            copyops.HALO_MODE = "ppermute"
+            b = fn()
+        finally:
+            copyops.HALO_MODE = old
+        return max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda s, t: float(jnp.abs(s - t).max()), a, b)))
+
+    for d in ("x", "y"):
+        assert both(lambda d=d: C.copy_corners(q, n, h, d)) == 0.0
+        for nc in (2, 3):
+            assert both(lambda d=d, nc=nc: C.fill_corners_cells(
+                q, qc, n, h, d, nc, 1.0, -1.0, -1.0, 1.0)) == 0.0
+        for g in ("A", "B"):
+            assert both(lambda g=g, d=d: C.fill_corners_2d(q, n, h, g, d)) == 0.0
+    for g in ("A", "C", "D"):
+        for vec in (True, False):
+            assert both(lambda g=g, vec=vec: C.fill_corners_vector(
+                x, y, n, h, g, vec)) == 0.0
