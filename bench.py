@@ -55,18 +55,32 @@ def main():
     state = init_baroclinic_state(sizing, dtype=jnp.float32)
 
     # donate the input state (identical in/out pytree): halves the
-    # state's HBM footprint, the lever for C96+/C192 single-chip fits
-    step = jax.jit(core.step_dynamics, donate_argnums=0)
+    # state's HBM footprint, the lever for C96+/C192 single-chip fits.
+    # The measured loop runs IN-GRAPH (lax.fori_loop over steps): the
+    # axon tunnel adds ~19 ms of network dispatch latency per jit call,
+    # which is an artifact of this environment, not of the model — the
+    # reference's standalone runfile (fv3core/examples/standalone/
+    # runfile/dynamics.py) times N steps on-host where per-call dispatch
+    # is microseconds.
+    def run_n(state, n_steps):
+        import jax.lax as lax
+
+        return lax.fori_loop(
+            0, n_steps, lambda i, s: core.step_dynamics(s), state
+        )
+
+    run_n_jit = jax.jit(run_n, static_argnums=1, donate_argnums=0)
 
     # Compile + warmup, with retries: the axon tunnel's remote-compile
     # service occasionally drops a response mid-read, surfacing as a
     # transient INTERNAL JaxRuntimeError.  One flake must not void the
     # round's metric, so re-create the state and retry up to 3 times.
+    n_steps = int(os.environ.get("PACE_BENCH_STEPS", "10"))
     warm = None
     for attempt in range(3):
         try:
             fresh = init_baroclinic_state(sizing, dtype=jnp.float32)
-            warm = step(fresh)
+            warm = run_n_jit(fresh, n_steps)
             _sync(warm.delp)
             break
         except Exception as e:  # jax.errors.JaxRuntimeError and friends
@@ -83,10 +97,8 @@ def main():
             time.sleep(5.0)
     state = warm
 
-    n_steps = int(os.environ.get("PACE_BENCH_STEPS", "10"))
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state = step(state)
+    state = run_n_jit(state, n_steps)
     _sync(state.delp)
     elapsed = time.perf_counter() - t0
     per_step = elapsed / n_steps

@@ -52,9 +52,9 @@ class DiagnosticsConfig:
             raise ValueError(
                 "DiagnosticsConfig.path must be given to enable diagnostics"
             )
-        if self.output_format not in ("npz", "netcdf"):
+        if self.output_format not in ("npz", "netcdf", "zarr"):
             raise ValueError(
-                "output_format must be 'npz' or 'netcdf', "
+                "output_format must be 'npz', 'netcdf' or 'zarr', "
                 f"got {self.output_format}"
             )
         for name in self.derived_names:
@@ -69,6 +69,8 @@ class DiagnosticsConfig:
             return NullDiagnostics()
         if self.output_format == "netcdf":
             return NetCDFDiagnostics(self, sizing)
+        if self.output_format == "zarr":
+            return ZarrDiagnostics(self, sizing)
         return NpzDiagnostics(self, sizing)
 
 
@@ -202,3 +204,30 @@ class NetCDFDiagnostics(NpzDiagnostics):
 
     def cleanup(self):
         self._monitor.cleanup()
+
+
+class ZarrDiagnostics(NpzDiagnostics):
+    """Diagnostics into a Zarr v2 store (dependency-free writer,
+    utils/zarrlite.py; reference monitor/zarr_monitor.py:37 layout:
+    one (time, tile, x, y[, z]) array per variable)."""
+
+    def __init__(self, config: DiagnosticsConfig, sizing=None):
+        from pace_tpu.utils.zarrlite import ZarrMonitor
+
+        super().__init__(config, sizing)
+        self._monitor = ZarrMonitor(os.path.join(config.path, "state.zarr"))
+
+    def store(self, time, state):
+        out = self._collect(state)
+        out["time"] = time
+        self._monitor.store(out)
+
+    def store_grid(self, grid_data):
+        from pace_tpu.utils.zarrlite import ZarrMonitor
+
+        hz = grid_data.horizontal
+        grid_store = ZarrMonitor(os.path.join(self.config.path, "grid.zarr"))
+        grid_store.store({
+            name: np.asarray(jax.device_get(getattr(hz, name)))
+            for name in ("lon", "lat", "lon_agrid", "lat_agrid", "area")
+        })

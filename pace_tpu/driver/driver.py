@@ -42,17 +42,56 @@ from pace_tpu.utils.gridtools import GridSizing
 
 @dataclasses.dataclass
 class MeshConfig:
-    """Device mesh over (tile, x, y); tile must divide 6."""
+    """Device mesh over (tile, x, y); tile must divide 6.
+
+    Multi-host: set ``multihost: true`` to call
+    ``jax.distributed.initialize`` before building the mesh (on Cloud TPU
+    pods the coordinator/process fields auto-detect from the environment;
+    set them explicitly elsewhere).  ``dcn_mesh_shape`` places the slow
+    DCN (data-center network) axes outermost via
+    ``mesh_utils.create_hybrid_device_mesh`` so halo collectives ride ICI
+    within a slice — the analogue of the reference's node-aware MPI rank
+    placement (ai2cm/pace util/pace/util/communicator.py partitioner
+    layout).  Elementwise, ``layout[i] = dcn_mesh_shape[i] * ici[i]``.
+    """
 
     layout: Tuple[int, int, int] = (1, 1, 1)
+    multihost: bool = False
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+    dcn_mesh_shape: Optional[Tuple[int, int, int]] = None
 
     def build(self):
-        n_req = self.layout[0] * self.layout[1] * self.layout[2]
-        if n_req == 1:
-            return None
-        devices = np.array(jax.devices()[:n_req]).reshape(self.layout)
         from jax.sharding import Mesh
 
+        if self.multihost:
+            jax.distributed.initialize(
+                coordinator_address=self.coordinator_address,
+                num_processes=self.num_processes,
+                process_id=self.process_id,
+            )
+        n_req = self.layout[0] * self.layout[1] * self.layout[2]
+        if n_req == 1 and not self.multihost:
+            return None
+        if self.dcn_mesh_shape is not None:
+            from jax.experimental import mesh_utils
+
+            ici = tuple(
+                l // d for l, d in zip(self.layout, self.dcn_mesh_shape)
+            )
+            if tuple(
+                i * d for i, d in zip(ici, self.dcn_mesh_shape)
+            ) != tuple(self.layout):
+                raise ValueError(
+                    f"dcn_mesh_shape {self.dcn_mesh_shape} does not "
+                    f"divide layout {self.layout}"
+                )
+            devices = mesh_utils.create_hybrid_device_mesh(
+                ici, self.dcn_mesh_shape
+            )
+        else:
+            devices = np.array(jax.devices()[:n_req]).reshape(self.layout)
         return Mesh(devices, ("tile", "x", "y"))
 
 

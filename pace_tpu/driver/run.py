@@ -37,6 +37,11 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from pace_tpu.utils.compilation_cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    logger.info("XLA compilation cache: %s", cache_dir)
+
     from pace_tpu.driver.driver import Driver, DriverConfig
 
     config = DriverConfig.from_yaml(args.config_path)

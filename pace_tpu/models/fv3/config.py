@@ -58,6 +58,11 @@ class DynamicalCoreConfig:
     tau: float = 10.0
     vtdm4: float = 0.06
     z_tracer: bool = True
+    # data-dependent tracer substep count from the in-graph global max
+    # Courant number (restores the Fortran behavior the reference
+    # commented out, tracer_2d_1l.py:312-338); False = fixed 3 substeps
+    # exactly like the reference
+    dynamic_tracer_subcycle: bool = False
     do_qa: bool = True
     n_sponge: int = 48
     fv_sg_adj: int = 0

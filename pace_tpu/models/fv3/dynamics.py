@@ -102,6 +102,7 @@ def fv_dynamics(
             advected = tradv.tracer_advection(
                 advected, dp_initial, s["mfxd"], s["mfyd"], s["cxd"],
                 s["cyd"], gd, topo, n, h, config.hord_tr,
+                dynamic_subcycle=config.dynamic_tracer_subcycle,
             )
             s.update(advected)
             nancheck("tracer_advection", n, h,

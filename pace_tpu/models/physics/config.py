@@ -12,10 +12,18 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+from pace_tpu.models.physics.emulator import MLPEmulatorConfig
+
 
 @dataclasses.dataclass(frozen=True)
 class PhysicsConfig:
     dt_atmos: float = 225.0
+    # "gfdl" (the full 6-category scheme) or "emulator" (the ML column
+    # MLP, models/physics/emulator.py — BASELINE.md north star 5)
+    microphysics_scheme: str = "gfdl"
+    emulator: MLPEmulatorConfig = dataclasses.field(
+        default_factory=MLPEmulatorConfig
+    )
     hydrostatic: bool = False
     npx: int = 13
     npy: int = 13

@@ -137,7 +137,16 @@ class Physics:
         self._do_microphysics = "microphysics" in active_packages
         self.timestep = timestep
         if self._do_microphysics:
-            self._microphysics = Microphysics(config, area, timestep)
+            if config.microphysics_scheme == "emulator":
+                # lazily constructed on first call (needs the state's nz)
+                self._microphysics = None
+            elif config.microphysics_scheme == "gfdl":
+                self._microphysics = Microphysics(config, area, timestep)
+            else:
+                raise ValueError(
+                    "microphysics_scheme must be 'gfdl' or 'emulator', "
+                    f"got {config.microphysics_scheme!r}"
+                )
 
     def __call__(self, state: PhysicsState) -> PhysicsState:
         state = atmos_phys_driver_statein(
@@ -164,6 +173,14 @@ class Physics:
             omga=state.omga, delprsi=state.delprsi, wmp=wmp, dz=dz,
             land=state.land,
         )
+        if self._microphysics is None:
+            from pace_tpu.models.physics.emulator import (
+                MicrophysicsEmulator,
+            )
+
+            self._microphysics = MicrophysicsEmulator(
+                self.config.emulator, mp_state.pt.shape[-1]
+            )
         tend = self._microphysics(mp_state)
         dt = self.timestep
         return dataclasses_replace(

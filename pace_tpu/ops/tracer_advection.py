@@ -2,9 +2,14 @@
 
 jnp port of ai2cm/pace fv3core/pace/fv3core/stencils/tracer_2d_1l.py
 `TracerAdvection`.  As in the reference, the global Courant reduction is
-fixed at cmax = 2.0 giving exactly 3 substeps (tracer_2d_1l.py:340); the
-dynamic `pmax` reduction is a cheap future upgrade on TPU.
-"""
+fixed at cmax = 2.0 giving exactly 3 substeps by default
+(tracer_2d_1l.py:340).  `dynamic_subcycle=True` restores the Fortran
+model's data-dependent split that the reference commented out
+(tracer_2d_1l.py:312-338): the global max Courant number is reduced
+in-graph (a plain jnp.max — GSPMD turns it into the cross-device
+collective the reference needed MPI allreduce for) and the substep loop
+becomes a lax.while_loop with a dynamic trip count, so quiescent flow
+pays for one substep instead of three."""
 
 from __future__ import annotations
 
@@ -30,7 +35,7 @@ def shift_b(q, di: int = 0, dj: int = 0):
 
 def tracer_advection(
     tracers: dict, dp1, x_mass_flux, y_mass_flux, x_courant, y_courant,
-    gd, topo, n, h, hord_tr,
+    gd, topo, n, h, hord_tr, dynamic_subcycle: bool = False,
 ):
     """Advect tracers (dict of (6,N,N,nz) arrays). Returns updated dict."""
     hz, ang = gd.horizontal, gd.angle
@@ -55,9 +60,23 @@ def tracer_advection(
         y_courant * dya * dx * sin2,
     )
 
-    cmax = 2.0
-    n_split = math.floor(1.0 + cmax)
-    frac = 1.0 / n_split
+    if dynamic_subcycle:
+        # global max Courant over the compute domain (halo padding can
+        # legitimately hold NaN, so slice before reducing); under a
+        # sharded mesh the max lowers to the cross-device reduction the
+        # reference needed an MPI allreduce for (tracer_2d_1l.py:323)
+        cx_i = jnp.abs(x_courant[:, h:h + n + 1, h:h + n])
+        cy_i = jnp.abs(y_courant[:, h:h + n, h:h + n + 1])
+        cmax_dyn = jnp.maximum(cx_i.max(), cy_i.max())
+        n_split_dyn = jnp.maximum(
+            jnp.floor(1.0 + cmax_dyn), 1.0
+        ).astype(jnp.int32)
+        frac = 1.0 / n_split_dyn.astype(dp1.dtype)
+        n_split = None
+    else:
+        cmax = 2.0
+        n_split = math.floor(1.0 + cmax)
+        frac = 1.0 / n_split
     x_courant = x_courant * frac
     xfx = xfx * frac
     x_mass_flux = x_mass_flux * frac
@@ -114,8 +133,7 @@ def tracer_advection(
             )
         )(qy8, qx8)
 
-    for it in range(n_split):
-        last_call = it == n_split - 1
+    def substep(stacked, dp1):
         dp2 = dp1 + (
             x_mass_flux - shift(x_mass_flux, 1)
             + y_mass_flux - shift(y_mass_flux, 0, 1)
@@ -127,6 +145,21 @@ def tracer_advection(
             qy8 * dp1
             + (fx8 - shift_b(fx8, 1) + fy8 - shift_b(fy8, 0, 1)) * rarea
         ) / dp2
-        if not last_call:
-            dp1 = dp2
+        return stacked, dp2
+
+    if dynamic_subcycle:
+        def body(carry):
+            it, stacked, dp1 = carry
+            stacked, dp2 = substep(stacked, dp1)
+            return it + 1, stacked, dp2
+
+        _, stacked, _ = jax.lax.while_loop(
+            lambda c: c[0] < n_split_dyn, body,
+            (jnp.int32(0), stacked, dp1),
+        )
+    else:
+        for it in range(n_split):
+            stacked, dp2 = substep(stacked, dp1)
+            if it != n_split - 1:
+                dp1 = dp2
     return {name: stacked[i] for i, name in enumerate(names)}

@@ -121,6 +121,22 @@ def test_restart_init_roundtrip(tmp_path):
         assert ((a == b) | both_nan).all(), f.name
 
 
+def test_mesh_config_build():
+    """MeshConfig builds a (tile, x, y) Mesh over the virtual devices;
+    dcn_mesh_shape must divide layout (multi-host placement contract)."""
+    import jax
+
+    from pace_tpu.driver.driver import MeshConfig
+
+    assert MeshConfig(layout=(1, 1, 1)).build() is None
+    if len(jax.devices()) >= 8:
+        mesh = MeshConfig(layout=(2, 2, 2)).build()
+        assert mesh.axis_names == ("tile", "x", "y")
+        assert mesh.devices.shape == (2, 2, 2)
+    with pytest.raises(ValueError, match="divide"):
+        MeshConfig(layout=(6, 1, 1), dcn_mesh_shape=(4, 1, 1)).build()
+
+
 def test_config_rejects_unsupported_modes():
     from pace_tpu.models.fv3.config import DynamicalCoreConfig
     from pace_tpu.models.fv3.dynamics import DynamicalCore
