@@ -25,6 +25,41 @@ def _sync(arr):
     np.asarray(jax.device_get(arr.ravel()[0]))
 
 
+TRANSIENT_KEYS = (
+    "INTERNAL", "remote_compile", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+    "response body", "backend setup", "Unable to initialize backend",
+)
+
+
+def _is_transient(e: Exception) -> bool:
+    return any(key in str(e) for key in TRANSIENT_KEYS)
+
+
+def _wait_for_backend(max_wait_s: float = 900.0):
+    """Block until the accelerator answers a trivial op.
+
+    The axon tunnel's backend init can fail with UNAVAILABLE while the
+    remote service restarts; backend init happens lazily at the FIRST
+    device op (e.g. inside grid generation), so it must be probed (and
+    retried) explicitly before any real work."""
+    import jax
+    import jax.numpy as jnp
+
+    deadline = time.monotonic() + max_wait_s
+    delay = 5.0
+    while True:
+        try:
+            jnp.zeros((8, 128)).block_until_ready()
+            return
+        except Exception as e:
+            if not _is_transient(e) or time.monotonic() > deadline:
+                raise
+            print(f"# backend unavailable ({type(e).__name__}); "
+                  f"retrying in {delay:.0f}s", file=sys.stderr)
+            time.sleep(delay)
+            delay = min(delay * 2, 60.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -38,6 +73,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # caching is an optimization; never fail the bench over it
+
+    _wait_for_backend()
 
     from pace_tpu.grid.generation import generate_grid_data
     from pace_tpu.models.fv3.config import DynamicalCoreConfig
@@ -84,12 +121,7 @@ def main():
             _sync(warm.delp)
             break
         except Exception as e:  # jax.errors.JaxRuntimeError and friends
-            transient = any(
-                key in str(e)
-                for key in ("INTERNAL", "remote_compile", "UNAVAILABLE",
-                            "DEADLINE_EXCEEDED", "response body")
-            )
-            if attempt == 2 or not transient:
+            if attempt == 2 or not _is_transient(e):
                 raise
             print(f"# warmup attempt {attempt + 1} failed "
                   f"(transient: {type(e).__name__}); retrying",
