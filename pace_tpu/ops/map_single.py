@@ -149,6 +149,26 @@ def map_single(q1, pe1, pe2, n, h, kord, mode, qs=None, qmin: float = 0.0):
     return lagrangian_contributions(pe1, pe2, a1, a2, a3, a4, dp1)
 
 
+def map_single_multi(items, pe1, pe2, n, h):
+    """Remap several fields sharing one (pe1, pe2) pair but with
+    DIFFERENT (kord, mode, qs, qmin): one remap_profile per field, then
+    one shared searchsorted indicator + MXU contraction for all of them
+    (the indicator build/read is the dominant cost of a lone map_single).
+
+    items: list of (q, kord, mode, qs_or_None, qmin). Returns the list of
+    remapped fields."""
+    dp1 = pe1[..., 1:] - pe1[..., :-1]
+    coeffs = []
+    for q, kord, mode, qs, qmin in items:
+        if qs is None:
+            qs = jnp.zeros(q.shape[:-1], q.dtype)
+        coeffs.append(remap_profile(qs, q, dp1, n, h, kord, mode, qmin))
+    stacked = [jnp.stack(parts) for parts in zip(*coeffs)]
+    stacked = jax.lax.optimization_barrier(tuple(stacked))
+    out = lagrangian_contributions_stacked(pe1, pe2, *stacked, dp1)
+    return [out[i] for i in range(len(items))]
+
+
 def map_single_stacked(q_stack, pe1, pe2, n, h, kord, mode,
                        qmin: float = 0.0):
     """Remap a (T, ..., nz) STACK of fields sharing one (pe1, pe2) pair

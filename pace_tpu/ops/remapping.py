@@ -12,7 +12,9 @@ import numpy as np
 
 from pace_tpu.ops import fillz as fillz_mod
 from pace_tpu.ops import moist_cv
-from pace_tpu.ops.map_single import map_single, map_single_stacked
+from pace_tpu.ops.map_single import (
+    map_single, map_single_multi, map_single_stacked,
+)
 from pace_tpu.ops.stencil_utils import shift
 from pace_tpu.utils import constants
 
@@ -80,8 +82,12 @@ def lagrangian_to_eulerian(
         new_tracers[name] = stacked[i]
     tracers = new_tracers
 
-    w = map_single(w, pe1, pe2, n, h, config.kord_wz, -2, qs=wsd)
-    delz = map_single(delz, pe1, pe2, n, h, config.kord_wz, 1)
+    # w and delz share (pe1, pe2): one indicator + contraction for both
+    w, delz = map_single_multi(
+        [(w, config.kord_wz, -2, wsd, 0.0),
+         (delz, config.kord_wz, 1, None, 0.0)],
+        pe1, pe2, n, h,
+    )
     delz = -delz * delp_new
     peln_new = pn2
     delp = delp_new

@@ -9,6 +9,8 @@ surface vertical wind.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,10 +38,66 @@ def cubic_spline_interpolation_constants(dp0: np.ndarray):
     return gk, beta, gamma
 
 
+def interpolation_matrix(dp0: np.ndarray) -> np.ndarray:
+    """Dense (nz, nz+1) matrix M with qe = q @ M equal to the cubic-spline
+    center->interface interpolation.
+
+    The spline solve is LINEAR in q with coefficients that depend only on
+    the static reference column dp0, so the whole
+    forward/backward-substitution recurrence collapses into one matrix
+    built once (numpy float64, column per basis vector) and applied as a
+    single MXU contraction per field — one HBM pass instead of two
+    transposes plus two nz-step sequential scans per field
+    (reference updatedzd.py:137 cubic_spline_interpolation... computed
+    per-column every call)."""
+    nz = dp0.shape[0]
+    gk, beta, gamma = cubic_spline_interpolation_constants(dp0)
+    m = np.zeros((nz, nz + 1))
+    for j in range(nz):
+        q = np.zeros(nz)
+        q[j] = 1.0
+        m[j] = _interpolate_scan_reference(q, gk, beta, gamma)
+    return m
+
+
+def _interpolate_scan_reference(q: np.ndarray, gk, beta, gamma):
+    """Sequential-substitution reference (numpy, one column)."""
+    nz = q.shape[0]
+    qe = np.zeros(nz + 1)
+    qe[0] = 2.0 * gk[0] * (gk[0] + 1.0) * q[0] + q[1]
+    qe[0] /= beta[0]
+    for k in range(1, nz):
+        qe[k] = (3.0 * (q[k - 1] + gk[k] * q[k]) - qe[k - 1]) / beta[k]
+    a_bot = 1.0 + gk[-1] * (gk[-1] + 1.5)
+    xt1 = 2.0 * gk[-1] * (gk[-1] + 1.0)
+    xt2 = gk[-1] * (gk[-1] + 0.5) - a_bot * gamma[-1]
+    qe[nz] = (xt1 * q[nz - 1] + q[nz - 2] - a_bot * qe[nz - 1]) / xt2
+    for k in range(nz - 1, -1, -1):
+        qe[k] -= gamma[k] * qe[k + 1]
+    return qe
+
+
+@functools.lru_cache(maxsize=8)
+def _interpolation_matrix_cached(dp0_bytes: bytes, nz: int) -> np.ndarray:
+    return interpolation_matrix(np.frombuffer(dp0_bytes).reshape(nz))
+
+
+def interpolate_to_layer_interfaces_matrix(q, m):
+    """q: (..., nz) or a (B, ..., nz) batch; m: (nz, nz+1) numpy.
+    One einsum -> (..., nz+1)."""
+    return jnp.einsum(
+        "...z,zo->...o", q, jnp.asarray(m, q.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def interpolate_to_layer_interfaces(q, gk, beta, gamma):
     """Cubic-spline center->interface interpolation (edge_profile).
 
-    q: (..., nz); gk/beta/gamma: (nz,) numpy. Returns (..., nz+1)."""
+    q: (..., nz); gk/beta/gamma: (nz,) numpy. Returns (..., nz+1).
+    Sequential lax.scan form — kept as the numerical reference for
+    interpolation_matrix (tests/test_vertical_remap.py pins the two
+    against each other)."""
     nz = q.shape[-1]
     qk = jnp.moveaxis(q, -1, 0)
     gk_j = jnp.asarray(gk, q.dtype)
@@ -85,12 +143,12 @@ def update_dz_d(
 ):
     """Returns (height, ws). dp0: (nz,) static numpy reference
     pressure-thickness column."""
-    gk, beta, gamma = cubic_spline_interpolation_constants(np.asarray(dp0))
-
-    crx_i = interpolate_to_layer_interfaces(crx, gk, beta, gamma)
-    xaf_i = interpolate_to_layer_interfaces(x_area_flux, gk, beta, gamma)
-    cry_i = interpolate_to_layer_interfaces(cry, gk, beta, gamma)
-    yaf_i = interpolate_to_layer_interfaces(y_area_flux, gk, beta, gamma)
+    dp0_64 = np.asarray(dp0, dtype=np.float64)
+    m = _interpolation_matrix_cached(dp0_64.tobytes(), dp0_64.shape[0])
+    stacked = jnp.stack([crx, x_area_flux, cry, y_area_flux])
+    crx_i, xaf_i, cry_i, yaf_i = interpolate_to_layer_interfaces_matrix(
+        stacked, m
+    )
 
     fx, fy = fv_tp_2d(
         height, crx_i, cry_i, xaf_i, yaf_i, gd, n, h, config.hord_tm
@@ -115,16 +173,14 @@ def update_dz_d(
     ) / area_after + (fx2 - shift(fx2, 1) + fy2 - shift(fy2, 0, 1)) / area
 
     ws = (surface_height - height[..., -1]) / dt
-    # monotonicity bottom-up
-    hk = jnp.moveaxis(height, -1, 0)
-
-    def body(carry, g):
-        lower = carry
-        new = jnp.maximum(g, lower + DZ_MIN)
-        return new, new
-
-    _, upd_rev = jax.lax.scan(body, hk[-1], hk[:-1][::-1])
-    height = jnp.moveaxis(
-        jnp.concatenate([upd_rev[::-1], hk[-1:]], 0), 0, -1
-    )
+    # monotonicity bottom-up: the sequential recurrence
+    # h'_k = max(h_k, h'_{k+1} + DZ_MIN) unrolls to
+    # h'_k = max_{m >= k} (h_m + (m-k)*DZ_MIN), i.e. a reverse cummax of
+    # b_m = h_m + m*DZ_MIN shifted back by k*DZ_MIN — one log-depth
+    # associative scan along the lane axis instead of an nz-step
+    # sequential loop (exact in f64; ~1 ulp f32 vs the recurrence)
+    nz1 = height.shape[-1]
+    korr = DZ_MIN * jnp.arange(nz1, dtype=height.dtype)
+    b = height + korr
+    height = jax.lax.cummax(b, axis=height.ndim - 1, reverse=True) - korr
     return height, ws
