@@ -22,13 +22,18 @@ def nh_p_grad(u, v, pp, gz, pk3, delp, gd, n, h, dt, ptop, akap):
     """Apply hydrostatic + nonhydrostatic PGF to (u*dx, v*dy), returning
     true winds. pp/gz/pk3 are interface fields (..., nz+1); returns
     (u, v, pp_b, gz_b, pk3_b)."""
-    # interpolate to cell corners; pp and pk3 skip k=0 (set explicitly below)
-    pp_b = a2b_ord4(pp[..., 1:], gd, n, h)
-    pp = jnp.concatenate([pp[..., :1], pp_b], -1)
-    pk3_b = a2b_ord4(pk3[..., 1:], gd, n, h)
-    pk3 = jnp.concatenate([pk3[..., :1], pk3_b], -1)
-    gz = a2b_ord4(gz, gd, n, h)
-    wk1 = a2b_ord4(delp, gd, n, h)
+    # interpolate to cell corners; pp and pk3 skip k=0 (set explicitly
+    # below).  a2b_ord4 is level-independent, so all four fields ride ONE
+    # call concatenated along k — the corner/edge handling and metric
+    # broadcasts are materialized once instead of four times.
+    nzp = gz.shape[-1]
+    nz = nzp - 1
+    stacked = jnp.concatenate([pp[..., 1:], pk3[..., 1:], gz, delp], -1)
+    out = a2b_ord4(stacked, gd, n, h)
+    pp = jnp.concatenate([pp[..., :1], out[..., :nz]], -1)
+    pk3 = jnp.concatenate([pk3[..., :1], out[..., nz:2 * nz]], -1)
+    gz = out[..., 2 * nz:2 * nz + nzp]
+    wk1 = out[..., 2 * nz + nzp:]
 
     top_value = ptop ** akap
     pp = pp.at[..., 0].set(0.0)
