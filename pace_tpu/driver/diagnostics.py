@@ -63,6 +63,17 @@ class DiagnosticsConfig:
                     f"unsupported derived diagnostic {name!r}; supported: "
                     "column_integrated_<tracer>"
                 )
+            # fail at config time, not hours into the run at the first
+            # output boundary
+            from pace_tpu.models.fv3.state import DycoreState
+
+            tracer = name[len("column_integrated_"):]
+            fields = {f.name for f in dataclasses.fields(DycoreState)}
+            if tracer not in fields:
+                raise ValueError(
+                    f"derived diagnostic {name!r} references unknown "
+                    f"tracer {tracer!r} (not a DycoreState field)"
+                )
 
     def diagnostics_factory(self, sizing=None) -> "Diagnostics":
         if self.path is None:

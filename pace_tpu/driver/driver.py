@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import warnings
 from datetime import timedelta
 from typing import Optional, Tuple
@@ -322,14 +323,36 @@ class Driver:
         self.state.time = self.time
 
     def cleanup(self):
+        """Flush perf JSON, diagnostics, and the final restart.
+
+        Called from run.py's try/finally, so it must survive a crashed
+        step: the step jit donates its input (driver state buffers are
+        deleted at dispatch), so after a mid-step failure the live state
+        is unreadable — each flush is independent and a failure in one
+        (e.g. 'Array has been deleted') must not mask the original
+        exception or block the perf report.  Crash-resumable state comes
+        from the intermediate restarts (restart_config.save_frequency),
+        which are written from completed steps only."""
+        logger = logging.getLogger("pace_tpu.driver")
         report = self.performance_collector.write_out_performance(
             "jax/xla", self.config.dt_atmos
         )
-        self.diagnostics.store_grid(self.state.grid_data)
-        self.diagnostics.cleanup()
-        self.config.restart_config.write_final_if_enabled(
-            self.state, self.time
-        )
+        for what, flush in (
+            ("grid diagnostics",
+             lambda: self.diagnostics.store_grid(self.state.grid_data)),
+            ("diagnostics", self.diagnostics.cleanup),
+            ("final restart",
+             lambda: self.config.restart_config.write_final_if_enabled(
+                 self.state, self.time)),
+        ):
+            try:
+                flush()
+            except Exception:
+                logger.exception(
+                    "cleanup: could not flush %s (state buffers may have "
+                    "been donated by a crashed step; intermediate restarts, "
+                    "if enabled, are unaffected)", what,
+                )
         return report
 
 

@@ -136,8 +136,6 @@ class MicrophysicsEmulator:
         dtype = state.pt.dtype
         profiles = [
             getattr(state, name) / _INPUT_SCALE[name]
-            if name != "dz"
-            else state.dz / _INPUT_SCALE[name]
             for name in INPUT_FIELDS
         ]
         batch_shape = profiles[0].shape[:-1]

@@ -95,6 +95,14 @@ def tracer_advection(
     stacked = jnp.stack([tracers[name] for name in names])
     from pace_tpu.parallel import copyops
 
+    # jax.vmap hands tracers to the halo-traffic recorder's on_result
+    # (np.asarray on a BatchTracer raises), so recorded debug runs take a
+    # per-tracer python loop instead — identical math, eager-friendly
+    _vmap = jax.vmap
+    if halo_mod._RECORDER is not None:
+        def _vmap(f):
+            return lambda q8: jnp.stack([f(q8[i]) for i in range(len(names))])
+
     if copyops.structured_enabled():
         # multi-chip lowering: structured halo + corner stages (static
         # slice copies -> neighbor collective-permutes under SPMD); q_x is
@@ -103,15 +111,15 @@ def tracer_advection(
         from pace_tpu.ops import corners as corners_mod
 
         center = topo.scalar_spec("center")
-        gather_y = jax.vmap(lambda q: corners_mod.copy_corners(
+        gather_y = _vmap(lambda q: corners_mod.copy_corners(
             halo_mod.halo_update_scalar(q, center), n, h, "y"))
-        gather_x = jax.vmap(
+        gather_x = _vmap(
             lambda q: corners_mod.copy_corners(q, n, h, "x"))
         x_from_y = True
     else:
         spec_y, spec_x = topo.scalar_corner_specs()
-        gather_y = jax.vmap(lambda q: halo_mod.halo_update_scalar(q, spec_y))
-        gather_x = jax.vmap(lambda q: halo_mod.halo_update_scalar(q, spec_x))
+        gather_y = _vmap(lambda q: halo_mod.halo_update_scalar(q, spec_y))
+        gather_x = _vmap(lambda q: halo_mod.halo_update_scalar(q, spec_x))
         x_from_y = False
 
     from pace_tpu.ops.pallas import fvtp2d_pallas

@@ -26,7 +26,10 @@ from pace_tpu.parallel.topology import CubedSphereTopology, HaloSpec
 # "gather" (default), "ppermute" (CopyOp decomposition, SPMD-friendly),
 # "packed" (legacy strip gathers; PACE_PACKED_HALO=1 alias).  The mode is
 # read from copyops.HALO_MODE at call time so tests can flip it.
-USE_PACKED_HALO = copyops.HALO_MODE == "packed"
+
+
+def _packed_enabled() -> bool:
+    return copyops.HALO_MODE == "packed"
 
 # Active halo-traffic recorder (parallel/traffic.py HaloTrafficRecorder —
 # the CachingComm record/replay analogue).  None in production; set via
@@ -51,7 +54,7 @@ def halo_update_scalar(q: jnp.ndarray, spec: HaloSpec) -> jnp.ndarray:
         if _RECORDER is not None:
             _RECORDER.on_result(out, spec)
         return out
-    if USE_PACKED_HALO and spec.packed is not None:
+    if _packed_enabled() and spec.packed is not None:
         from jax import lax
 
         zeros = (0,) * (q.ndim - 3)
@@ -107,7 +110,7 @@ def _vector_gather(u, v, spec: HaloSpec, apply_sign: bool = True):
         if _RECORDER is not None:
             _RECORDER.on_result(out, spec)
         return out
-    if USE_PACKED_HALO and spec.packed is not None:
+    if _packed_enabled() and spec.packed is not None:
         # strip-gather + slice-write into the own-component array
         from jax import lax
 

@@ -255,7 +255,7 @@ def _rect_of_mask(mask: np.ndarray) -> Tuple[int, int, int, int]:
 
 
 def _copy_op_from_tables(
-    t: int, mask: np.ndarray, A: np.ndarray,
+    t: int, mask: np.ndarray,
     src_t: np.ndarray, si: np.ndarray, sj: np.ndarray,
     comp: int = 0, sign: float = 1.0,
 ) -> CopyOp:
@@ -460,8 +460,7 @@ class CubedSphereTopology:
                 mask = region == region_id
                 if mask.any():
                     copy_ops.append(_copy_op_from_tables(
-                        t, mask, self.transforms[(t, edge)].a_matrix,
-                        st, si, sj,
+                        t, mask, st, si, sj,
                     ))
             specs_t.append(st); specs_i.append(si); specs_j.append(sj)
             valid.append(ok)
@@ -537,7 +536,7 @@ class CubedSphereTopology:
                 sc[mask] = nbr_comp
                 sg[mask] = sign
                 copy_ops.append(_copy_op_from_tables(
-                    t, mask, A, src_t, si, sj,
+                    t, mask, src_t, si, sj,
                     comp=nbr_comp, sign=sign,
                 ))
             ok = region != 5
@@ -625,7 +624,7 @@ class CubedSphereTopology:
                 sc[mask] = nbr_comp
                 sg[mask] = sign
                 copy_ops.append(_copy_op_from_tables(
-                    t, mask, A, src_t, si, sj,
+                    t, mask, src_t, si, sj,
                     comp=nbr_comp, sign=sign,
                 ))
             all_t.append(src_t); all_i.append(si); all_j.append(sj)

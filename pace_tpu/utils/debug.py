@@ -29,7 +29,11 @@ def _host_check(stage: str, n: int, h: int, names, *arrays) -> None:
     for name, arr in zip(names, arrays):
         a = np.asarray(arr)
         if a.ndim >= 3:
-            a = a[:, h:h + n + 1, h:h + n + 1]
+            # strictly interior cells only: index h+n is a halo row for
+            # cell-centered fields and (h+n, h+n) is a corner-wedge point,
+            # both of which legitimately hold NaN mid-graph (see module
+            # docstring) — including them would flag healthy runs
+            a = a[:, h:h + n, h:h + n]
         if not np.isfinite(a).all():
             count = int((~np.isfinite(a)).sum())
             raise NaNDetected(

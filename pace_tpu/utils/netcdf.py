@@ -38,6 +38,13 @@ def _as_writable(arr: np.ndarray) -> Tuple[np.ndarray, str]:
         arr = arr.astype(np.float64)
     code = _TYPECODES[arr.dtype]
     if arr.dtype == np.dtype(np.int64):
+        # NetCDF3 has no 64-bit integer type; narrowing must be lossless
+        info = np.iinfo(np.int32)
+        if arr.size and (arr.max() > info.max or arr.min() < info.min):
+            raise OverflowError(
+                "int64 value out of int32 range cannot be stored in a "
+                "NetCDF3 file"
+            )
         arr = arr.astype(np.int32)
     elif arr.dtype == np.dtype(bool):
         arr = arr.astype(np.int8)

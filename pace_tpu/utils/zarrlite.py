@@ -107,6 +107,15 @@ class ZarrMonitor:
     def store(self, state: Dict) -> None:
         import jax
 
+        # every store must carry the same variables, or per-variable
+        # arrays silently desynchronize from the shared time axis (the
+        # NetCDF monitor fails loudly on the same input — match it)
+        names = {k for k in state if k != "time"}
+        if self._writers and names != set(self._writers):
+            raise KeyError(
+                "inconsistent variables between zarr store calls: "
+                f"got {sorted(names)}, expected {sorted(self._writers)}"
+            )
         for name, value in state.items():
             if name == "time":
                 continue

@@ -314,26 +314,28 @@ def test_packed_halo_equivalence():
     def unpack(spec):
         return dataclasses.replace(spec, packed=None)
 
-    old = halo_mod.USE_PACKED_HALO
+    from pace_tpu.parallel import copyops
+
+    old = copyops.HALO_MODE
     try:
         for stag in ("center", "corner"):
             spec = topo.scalar_spec(stag)
-            halo_mod.USE_PACKED_HALO = True
+            copyops.HALO_MODE = "packed"
             a = halo_mod.halo_update_scalar(q, spec)
-            halo_mod.USE_PACKED_HALO = False
+            copyops.HALO_MODE = "gather"
             b = halo_mod.halo_update_scalar(q, unpack(spec))
             assert float(jnp.abs(a - b).max()) == 0.0, stag
         for stags in (("y_iface", "x_iface"), ("x_iface", "y_iface"),
                       ("center", "center")):
             us, vs = topo.vector_spec(*stags)
             for spec in (us, vs):
-                halo_mod.USE_PACKED_HALO = True
+                copyops.HALO_MODE = "packed"
                 a = halo_mod._vector_gather(u, v, spec)
-                halo_mod.USE_PACKED_HALO = False
+                copyops.HALO_MODE = "gather"
                 b = halo_mod._vector_gather(u, v, unpack(spec))
                 assert float(jnp.abs(a - b).max()) == 0.0, stags
     finally:
-        halo_mod.USE_PACKED_HALO = old
+        copyops.HALO_MODE = old
 
 
 def test_structured_halo_equivalence(topo):

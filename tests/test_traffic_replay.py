@@ -102,3 +102,33 @@ def test_replay_mismatch_raises(topo):
         # recording exhausted
         with pytest.raises(RuntimeError, match="exhausted"):
             halo_mod.halo_update_scalar(q[:1], spec)
+
+
+def test_record_tracer_advection(topo):
+    """Recording must survive tracer_advection's batched halo gathers —
+    a vmap'd halo update hands tracers to on_result, which previously
+    raised TracerArrayConversionError (round-2 review fix: recorded runs
+    take a per-tracer loop)."""
+    from pace_tpu.grid.generation import generate_grid_data
+    from pace_tpu.ops import tracer_advection as tradv
+
+    rng = np.random.RandomState(3)
+    Nn, nz = topo.N, 4
+    gd = generate_grid_data(N_, 79, dtype=jnp.float64)
+
+    def fields():
+        return jnp.asarray(rng.rand(6, Nn, Nn, nz) + 1.0)
+
+    tracers = {"qvapor": fields(), "qcld": fields()}
+    dp1 = fields()
+    kw = dict(gd=gd, topo=topo, n=N_, h=H, hord_tr=8)
+    rec = HaloTrafficRecorder(mode="record")
+    with rec:
+        out = tradv.tracer_advection(
+            dict(tracers), dp1, fields(), fields(),
+            0.1 * fields(), 0.1 * fields(), **kw,
+        )
+    assert set(out) == set(tracers)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)[:, H:H + N_, H:H + N_]).all()
+    assert len(rec.calls) > 0
