@@ -40,6 +40,13 @@ def sim1_solver(w, dm, gm, dz, pt, pm, pem, ws, dt, p_fac):
     Returns (w, dz, pe) with pe the nonhydrostatic perturbation pressure on
     interfaces (..., nz+1).
     """
+    from pace_tpu.ops.pallas import sim1_pallas as sim1_pallas_mod
+
+    if sim1_pallas_mod.enabled(w.dtype):
+        return sim1_pallas_mod.sim1_pallas(
+            w, dm, gm, dz, pt, pm, pem, ws, dt, p_fac
+        )
+
     t1g = 2.0 * dt * dt
     rdt = 1.0 / dt
     nz = w.shape[-1]
