@@ -93,3 +93,57 @@ def remap_only(args):
 
 
 timeit("vertical remap (last_step)", remap_only, (s0, cappa, wsd0), iters=8)
+
+
+# ---- fine-grained rows (round 2): vertical solver + dz/pgrad stages ----
+from pace_tpu.ops import riemann, updatedzd, nh_p_grad as nhpg_mod  # noqa: E402
+from pace_tpu.ops import fxadv  # noqa: E402
+import numpy as np  # noqa: E402
+import os as _os  # noqa: E402
+
+zs = s0["phis"] / 9.80665
+zh0 = jnp.concatenate(
+    [zs[..., None] + jnp.cumsum(-s0["delz"][..., ::-1], -1)[..., ::-1],
+     zs[..., None]], -1)
+crx, cry, xfx_, yfx_, ut0, vt0 = fxadv.fx_adv(
+    s0["uc"], s0["vc"], jnp.zeros_like(s0["delp"]),
+    jnp.zeros_like(s0["delp"]), gd, n, h, 225.0)
+
+
+def riem3_fn(args):
+    s, cappa_, wsd = args
+    return riemann.riem_solver3(
+        225.0, cappa_, gd.vertical.ptop, zs, wsd, s["delz"], s["q_con"],
+        s["delp"], s["pt"], zh0, s["pe"], jnp.zeros_like(s["pe"]),
+        s["pk"], s["peln"], s["w"], config.p_fac, config.beta,
+        config.use_logp, last_call=True)
+
+
+timeit("riem_solver3 (scan path)", riem3_fn, (s0, cappa, wsd0))
+
+_os.environ["PACE_PALLAS_SIM1"] = "1"
+timeit("riem_solver3 (pallas sim1)", riem3_fn, (s0, cappa, wsd0))
+_os.environ["PACE_PALLAS_SIM1"] = "0"
+
+
+def dzd_fn(a):
+    return updatedzd.update_dz_d(
+        zs, a, crx, cry, xfx_, yfx_, gd, col, config, n, h, 225.0,
+        vp["dp_ref"])
+
+
+timeit("update_dz_d", dzd_fn, zh0)
+
+pkc0 = jnp.zeros_like(s0["pe"])
+pk30 = jnp.zeros_like(s0["pe"])
+gz0 = zh0 * 9.80665
+
+
+def nhpg_fn(args):
+    u, v = args
+    return nhpg_mod.nh_p_grad(
+        u, v, pkc0, gz0, pk30, s0["delp"], gd, n, h, 225.0,
+        gd.vertical.ptop, 0.28571428)
+
+
+timeit("nh_p_grad", nhpg_fn, (s0["u"], s0["v"]))
