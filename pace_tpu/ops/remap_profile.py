@@ -25,6 +25,11 @@ def _kl(q):
 def _spline_interfaces(a1, delp, qs, iv):
     """Interface values by tridiagonal cubic spline (set_initial_vals).
     a1/delp (..., nz); qs (...). Returns q (..., nz+1), gam (..., nz+1)."""
+    from pace_tpu.ops.pallas import spline_pallas
+
+    if spline_pallas.enabled(a1.dtype) and a1.ndim == 4:
+        return spline_pallas.spline_interfaces_pallas(a1, delp, qs, iv)
+
     nz = a1.shape[-1]
     a = _kf(a1)
     dp = _kf(delp)
