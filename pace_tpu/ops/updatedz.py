@@ -32,17 +32,17 @@ def _interface_interp(vel, dp0):
 
 
 def _enforce_monotone_gz(gz):
-    """gz_k = max(gz_k, gz_{k+1} + DZ_MIN) applied bottom-up (..., nz+1)."""
-    gz_k = jnp.moveaxis(gz, -1, 0)
+    """gz_k = max(gz_k, gz_{k+1} + DZ_MIN) applied bottom-up (..., nz+1).
 
-    def body(carry, gk):
-        lower = carry
-        new = jnp.maximum(gk, lower + DZ_MIN)
-        return new, new
-
-    _, updated_rev = jax.lax.scan(body, gz_k[-1], gz_k[:-1][::-1])
-    out = jnp.concatenate([updated_rev[::-1], gz_k[-1:]], 0)
-    return jnp.moveaxis(out, 0, -1)
+    The recurrence unrolls to gz'_k = max_{m >= k} (gz_m + (m-k)*DZ_MIN):
+    a reverse cummax of gz + k*DZ_MIN (log-depth associative scan along
+    the lane axis) instead of an nz-step sequential lax.scan with two
+    whole-array transposes — same rewrite as update_dz_d's monotonicity
+    (ops/updatedzd.py)."""
+    nzp = gz.shape[-1]
+    korr = DZ_MIN * jnp.arange(nzp, dtype=gz.dtype)
+    b = gz + korr
+    return jax.lax.cummax(b, axis=gz.ndim - 1, reverse=True) - korr
 
 
 def update_dz_c(dp_ref, zs, area, ut, vt, gz, n, h, dt):
