@@ -147,3 +147,8 @@ def nhpg_fn(args):
 
 
 timeit("nh_p_grad", nhpg_fn, (s0["u"], s0["v"]))
+
+_os.environ["PACE_PALLAS_SPLINE"] = "1"
+timeit("vertical remap (pallas spline)", remap_only, (s0, cappa, wsd0),
+       iters=8)
+_os.environ["PACE_PALLAS_SPLINE"] = "0"
