@@ -27,6 +27,11 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# the environment's sitecustomize registers the tunneled-TPU platform and
+# overrides JAX_PLATFORMS, so force the CPU backend via the config API too
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
