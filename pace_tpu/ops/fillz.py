@@ -13,6 +13,11 @@ import jax.numpy as jnp
 
 def fix_tracer(q, dp):
     """q/dp (..., nz). Returns fixed q."""
+    from pace_tpu.ops.pallas import fillz_pallas
+
+    if fillz_pallas.enabled(q.dtype) and q.ndim == 4:
+        return fillz_pallas.fix_tracer_pallas(q, dp)
+
     nz = q.shape[-1]
     kf = lambda a: jnp.moveaxis(a, -1, 0)  # noqa: E731
     kl = lambda a: jnp.moveaxis(a, 0, -1)  # noqa: E731
