@@ -19,11 +19,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# optional layout override: python scripts/c384_memory.py 6 8 8
+_LAYOUT = tuple(int(a) for a in sys.argv[1:4]) if len(sys.argv) >= 4 \
+    else (6, 4, 4)
+_NDEV = _LAYOUT[0] * _LAYOUT[1] * _LAYOUT[2]
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=96"
+        flags + f" --xla_force_host_platform_device_count={_NDEV}"
     ).strip()
 
 import jax  # noqa: E402
@@ -49,7 +54,7 @@ def main():
     from pace_tpu.utils.gridtools import GridSizing
 
     n, nz, dt = 384, 79, 112.5
-    layout = (6, 4, 4)
+    layout = _LAYOUT
     sizing = GridSizing(n, nz)
     gd = generate_grid_data(n, nz, dtype=jnp.float32)
     config = DynamicalCoreConfig(do_sat_adj=False, k_split=1, n_split=6)
