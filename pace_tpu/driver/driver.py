@@ -93,6 +93,20 @@ class MeshConfig:
             )
         else:
             devices = np.array(jax.devices()[:n_req]).reshape(self.layout)
+
+        # multi-chip default: the structured (CopyOp/ppermute) halo
+        # lowering — whole-array gathers force GSPMD to materialize a
+        # REPLICATED full-tile temp per device (measured: the C384
+        # coupled step's per-device peak barely drops from 96 to 384
+        # devices under the gather form), while the static-slice form
+        # lowers to neighbor collective-permutes at halo-surface bytes.
+        # An explicit PACE_HALO always wins.
+        import os as _os
+
+        if _os.environ.get("PACE_HALO") is None:
+            from pace_tpu.parallel import copyops
+
+            copyops.HALO_MODE = "ppermute"
         return Mesh(devices, ("tile", "x", "y"))
 
 

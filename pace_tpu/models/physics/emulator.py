@@ -119,8 +119,11 @@ class MicrophysicsEmulator:
         self._n_layers = len(config.hidden_sizes) + 1
 
     def _forward(self, x):
-        """x: (n_columns, nz*F) normalized features -> (n_columns,
-        nz*T) normalized tendencies.  One matmul chain on the MXU."""
+        """x: (..., nz*F) normalized features -> (..., nz*T) normalized
+        tendencies.  One matmul chain on the MXU; leading dims are kept
+        intact (NOT flattened) so a (tile, x, y)-sharded input stays
+        sharded — a (-1, features) reshape would merge partitioned axes
+        and force GSPMD to all-gather the full global batch per device."""
         cdt = jnp.dtype(self.config.compute_dtype)
         h = x.astype(cdt)
         for i in range(self._n_layers):
@@ -138,15 +141,10 @@ class MicrophysicsEmulator:
             getattr(state, name) / _INPUT_SCALE[name]
             for name in INPUT_FIELDS
         ]
-        batch_shape = profiles[0].shape[:-1]
-        x = jnp.concatenate(
-            [p.reshape((-1, nz)) for p in profiles], axis=-1
-        )  # (n_columns, nz*F)
-        y = self._forward(x).astype(dtype)  # (n_columns, nz*T)
+        x = jnp.concatenate(profiles, axis=-1)  # (..., nz*F)
+        y = self._forward(x).astype(dtype)      # (..., nz*T)
         tend = {
-            name: (
-                y[:, i * nz:(i + 1) * nz] * _OUTPUT_SCALE[name]
-            ).reshape(batch_shape + (nz,))
+            name: y[..., i * nz:(i + 1) * nz] * _OUTPUT_SCALE[name]
             for i, name in enumerate(OUTPUT_FIELDS)
         }
 
