@@ -35,7 +35,7 @@ def _is_transient(e: Exception) -> bool:
     return any(key in str(e) for key in TRANSIENT_KEYS)
 
 
-def _wait_for_backend(max_wait_s: float = 900.0):
+def _wait_for_backend(max_wait_s: float = 1800.0):
     """Block until the accelerator answers a trivial op.
 
     The axon tunnel's backend init can fail with UNAVAILABLE while the
