@@ -134,10 +134,42 @@ def d_sw(
     crx, cry, xfx, yfx, ut, vt = fx_adv(uc, vc, ut_in, vt_in, gd, n, h, dt)
     transport = _make_transport(crx, cry, xfx, yfx, gd, n, h)
 
-    (fluxes, qx_list) = transport([delp], config.hord_dp)
-    fx, fy = fluxes[0]
+    # cell-mean relative vorticity (Stokes) — from the INPUT u/v; used
+    # for the vorticity-flux transport and the damping/heating blocks
+    rdy_tmp = rarea * dx
+    rdx_tmp = rarea * dy
+    vorticity_agrid = (
+        u - shift(u, 0, 1) * shift(dx, 0, 1) / dx
+    ) * rdy_tmp + (shift(v, 1) * shift(dy, 1) / dy - v) * rdx_tmp
+    abs_vorticity = vorticity_agrid + hz.f0[..., None]
+
+    from pace_tpu.ops.pallas import fvtp2d_pallas
+
+    same_hord = config.hord_dp == config.hord_vt == config.hord_tm
+    use_fused_dsw = same_hord and fvtp2d_pallas.fused_dsw_enabled(delp.dtype)
+    if use_fused_dsw:
+        # ONE batched kernel call for all five transports (delp, w,
+        # q_con, pt, vorticity): the per-field unit-flux multiply is the
+        # only difference between them (fvtp2d.py:82-87) and is applied
+        # here in XLA, where it fuses into the flux_increment consumers.
+        from pace_tpu.ops import corners as corner_ops
+
+        qs5 = [delp, w, q_con, pt, abs_vorticity]
+        qy5 = [corner_ops.copy_corners(q, n, h, "y") for q in qs5]
+        qx5 = [corner_ops.copy_corners(q, n, h, "x") for q in qy5]
+        mean_x, mean_y = fvtp2d_pallas.transport_batched_means(
+            jnp.stack(qy5), jnp.stack(qx5), crx, cry, xfx, yfx,
+            hz.dxa, hz.dya, hz.area, n, h, config.hord_dp,
+            interpret=fvtp2d_pallas.INTERPRET,
+        )
+        fx, fy = mean_x[0] * xfx, mean_y[0] * yfx
+        qx_delp = qx5[0]
+    else:
+        (fluxes, qx_list) = transport([delp], config.hord_dp)
+        fx, fy = fluxes[0]
+        qx_delp = qx_list[0]
     fx, fy = delnflux_mod.deln_flux(
-        qx_list[0], fx, fy, gd, col["nord_v"], col["damp_vt"], n, h,
+        qx_delp, fx, fy, gd, col["nord_v"], col["damp_vt"], n, h,
     )
 
     cx = cx + crx
@@ -169,19 +201,29 @@ def d_sw(
                col["damp_t"]),
               ("pt", pt, config.hord_tm, col["nord_v"], col["damp_vt"])]
     results = {}
-    by_hord = {}
-    for name, q, hord, nord_c, damp_c in fields:
-        by_hord.setdefault(hord, []).append((name, q, nord_c, damp_c))
-    for hord, group in by_hord.items():
-        fluxes, qx_list = transport([g[1] for g in group], hord,
-                                    xmf=fx, ymf=fy)
-        for (name, q, nord_c, damp_c), (gx, gy), qx in zip(
-                group, fluxes, qx_list):
+    if use_fused_dsw:
+        # unit flux for mass transports = the (damped) delp mass fluxes
+        for i, (name, q, hord, nord_c, damp_c) in enumerate(fields, 1):
+            gx, gy = mean_x[i] * fx, mean_y[i] * fy
             if nord_c is not None:
                 gx, gy = delnflux_mod.deln_flux(
-                    qx, gx, gy, gd, nord_c, damp_c, n, h, mass=delp,
+                    qx5[i], gx, gy, gd, nord_c, damp_c, n, h, mass=delp,
                 )
             results[name] = (gx, gy)
+    else:
+        by_hord = {}
+        for name, q, hord, nord_c, damp_c in fields:
+            by_hord.setdefault(hord, []).append((name, q, nord_c, damp_c))
+        for hord, group in by_hord.items():
+            fluxes, qx_list = transport([g[1] for g in group], hord,
+                                        xmf=fx, ymf=fy)
+            for (name, q, nord_c, damp_c), (gx, gy), qx in zip(
+                    group, fluxes, qx_list):
+                if nord_c is not None:
+                    gx, gy = delnflux_mod.deln_flux(
+                        qx, gx, gy, gd, nord_c, damp_c, n, h, mass=delp,
+                    )
+                results[name] = (gx, gy)
 
     gx, gy = results["w"]
     w = w * delp + flux_increment(gx, gy, rarea)
@@ -216,22 +258,17 @@ def d_sw(
     ke = 0.5 * dt * (ub_contra * advected_u + vb_contra * advected_v)
     ke = _corner_ke(ke, u, v, ut, vt, dt, n, h)
 
-    # cell-mean relative vorticity (Stokes)
-    rdy_tmp = rarea * dx
-    rdx_tmp = rarea * dy
-    vorticity_agrid = (
-        u - shift(u, 0, 1) * shift(dx, 0, 1) / dx
-    ) * rdy_tmp + (shift(v, 1) * shift(dy, 1) / dy - v) * rdx_tmp
-
     vort_damped_b, ke, delpc, divgd = divergence_damping(
         u, v, va, ua, divgd, vc, uc, ke, vorticity_agrid, gd, n, h, dt,
         dddmp=config.dddmp, d4_bg=config.d4_bg, nord=config.nord,
         nord_col=col["nord"], d2_bg_col=col["d2_divg"],
     )
 
-    abs_vorticity = vorticity_agrid + hz.f0[..., None]
-    fluxes, _ = transport([abs_vorticity], config.hord_vt)
-    fx, fy = fluxes[0]
+    if use_fused_dsw:
+        fx, fy = mean_x[4] * xfx, mean_y[4] * yfx
+    else:
+        fluxes, _ = transport([abs_vorticity], config.hord_vt)
+        fx, fy = fluxes[0]
 
     # u/v update from KE gradient + vorticity fluxes (outputs u*dx, v*dy)
     u_new = u * dx + ke - shift(ke, 1) + fy

@@ -84,6 +84,45 @@ def test_transport_batched_matches_jnp(transport_inputs, hord):
                                rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize("hord", [6, 8])
+def test_transport_batched_means_matches_jnp(transport_inputs, hord):
+    """The unit-flux-deferred kernel (d_sw's five-field fused transport):
+    mean * unit_flux must equal the jnp fv_tp_2d for BOTH flux kinds —
+    mass-flux (w/q_con/pt) and area-flux (delp/vorticity) transports."""
+    gd, qy8, qx8, crx, cry, xfx, yfx, xmf, ymf = transport_inputs
+    hz = gd.horizontal
+
+    mean_x, mean_y = fvtp2d_pallas.transport_batched_means(
+        qy8, qx8, crx, cry, xfx, yfx,
+        hz.dxa, hz.dya, hz.area, N_, H, hord, interpret=True,
+    )
+
+    fx_mass_ref, fy_mass_ref = jax.vmap(
+        lambda q_y, q_x: fv_tp_2d(
+            q_y, crx, cry, xfx, yfx, gd, N_, H, hord,
+            x_mass_flux=xmf, y_mass_flux=ymf, q_y=q_y, q_x=q_x,
+        )
+    )(qy8, qx8)
+    fx_area_ref, fy_area_ref = jax.vmap(
+        lambda q_y, q_x: fv_tp_2d(
+            q_y, crx, cry, xfx, yfx, gd, N_, H, hord, q_y=q_y, q_x=q_x,
+        )
+    )(qy8, qx8)
+
+    np.testing.assert_allclose(np.asarray(mean_x * xmf),
+                               np.asarray(fx_mass_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mean_y * ymf),
+                               np.asarray(fy_mass_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mean_x * xfx),
+                               np.asarray(fx_area_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mean_y * yfx),
+                               np.asarray(fy_area_ref),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_corner_composed_gathers_match_explicit(transport_inputs):
     """halo ∘ copy_corners composition equals sequential halo + corner
     copies (the identity tracer_advection relies on)."""
