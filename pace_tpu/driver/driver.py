@@ -35,6 +35,7 @@ from pace_tpu.driver.state import DriverState
 from pace_tpu.grid.generation import generate_grid_data
 from pace_tpu.models.coupler import DycoreToPhysics, UpdateAtmosphereState
 from pace_tpu.models.fv3.config import DynamicalCoreConfig
+from pace_tpu.parallel import copyops
 from pace_tpu.models.fv3.dynamics import DynamicalCore
 from pace_tpu.models.physics.config import PhysicsConfig
 from pace_tpu.models.physics.physics import Physics
@@ -94,19 +95,6 @@ class MeshConfig:
         else:
             devices = np.array(jax.devices()[:n_req]).reshape(self.layout)
 
-        # multi-chip default: the structured (CopyOp/ppermute) halo
-        # lowering — whole-array gathers force GSPMD to materialize a
-        # REPLICATED full-tile temp per device (measured: the C384
-        # coupled step's per-device peak barely drops from 96 to 384
-        # devices under the gather form), while the static-slice form
-        # lowers to neighbor collective-permutes at halo-surface bytes.
-        # An explicit PACE_HALO always wins.
-        import os as _os
-
-        if _os.environ.get("PACE_HALO") is None:
-            from pace_tpu.parallel import copyops
-
-            copyops.HALO_MODE = "ppermute"
         return Mesh(devices, ("tile", "x", "y"))
 
 
@@ -239,6 +227,17 @@ class Driver:
                 self.physics = None
 
             self.mesh = config.mesh.build()
+            # multi-chip default: the structured (CopyOp/ppermute) halo
+            # lowering — whole-array gathers force GSPMD to materialize
+            # a REPLICATED full-tile temp per device (measured: the C384
+            # coupled step's per-device peak barely drops from 96 to 384
+            # devices under the gather form), while the static-slice
+            # form lowers to neighbor collective-permutes at
+            # halo-surface bytes.  Applied here (not in MeshConfig.build,
+            # which unit tests call) so only a real Driver changes the
+            # process default; PACE_HALO or a programmatic HALO_MODE
+            # assignment always wins.
+            copyops.select_default_for_mesh(self.mesh.size)
             self._step = self._build_step()
             self.diagnostics = (
                 config.diagnostics_config.diagnostics_factory(sizing)

@@ -11,8 +11,10 @@ tendency dict as `Microphysics.__call__`, so it is interchangeable in
 the physics driver and in the coupled jitted step.
 
 TPU-first design decisions:
-- all (tile, x, y) columns are flattened into one batch axis, so each
-  layer is a single (n_columns, features) @ (features, hidden) matmul;
+- each layer is one (..., features) @ (features, hidden) matmul over
+  the column features with the (tile, x, y) batch dims kept INTACT —
+  flattening them into one batch axis would merge partitioned axes and
+  force GSPMD to all-gather the global column batch per device;
 - compute dtype is configurable — bfloat16 halves HBM traffic for the
   weights/activations and runs the MXU at full rate; the residual/
   conservation fixup is always applied in the state dtype;

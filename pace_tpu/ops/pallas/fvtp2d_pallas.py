@@ -186,6 +186,50 @@ def _chunk(N: int) -> int:
     return N
 
 
+def _ychunk(N: int) -> int:
+    """y-chunk for K2 blocks: sits in the sublane slot -> multiple of 8;
+    same rows*cols VMEM budget as _chunk, floored at the 8-sublane tile."""
+    yb_cap = max(8, (28 * 56) // N // 8 * 8)
+    return next((c for c in range(min(yb_cap, N), 0, -8) if N % c == 0), N)
+
+
+def _m5(t, c, a):
+    return (a, t, c, 0, 0)
+
+
+def _m4(t, c, a):
+    return (t, c, 0, 0)
+
+
+def _run_k1(q_y, cry, yfx, dya, area, *, n, h, ord_inner, interpret):
+    """K1 stage (shifts along y; chunk x), shared by transport_batched
+    and transport_batched_means: y-inner PPM -> (q_advected_y, fy_in)."""
+    T, nt, N, _, nz = q_y.shape
+    XB = _chunk(N)
+    g1 = (nt, N // XB, T)
+    dt = q_y.dtype
+    return pl.pallas_call(
+        functools.partial(_k1_inner_y, n=n, h=h, ord_inner=ord_inner),
+        grid=g1,
+        in_specs=[
+            pl.BlockSpec((1, 1, XB, N, nz), _m5, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, XB, N, nz), _m4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, XB, N, nz), _m4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, XB, N, 1), _m4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, XB, N, 1), _m4, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, XB, N, nz), _m5, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, XB, N, nz), _m5, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q_y.shape, dt),
+            jax.ShapeDtypeStruct(q_y.shape, dt),
+        ],
+        interpret=interpret,
+    )(q_y, cry, yfx, dya, area)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n", "h", "hord", "interpret"),
@@ -215,38 +259,15 @@ def transport_batched(
     ord_inner = 8 if hord == 10 else hord
     XB = _chunk(N)
     dt = q_y.dtype
-    nxc = N // XB
 
     # ---- K1: shifts along y; chunk x --------------------------------------
-    g1 = (nt, nxc, T)
-    m5 = lambda t, c, a: (a, t, c, 0, 0)
-    m4 = lambda t, c, a: (t, c, 0, 0)
-    qay, fy_in = pl.pallas_call(
-        functools.partial(_k1_inner_y, n=n, h=h, ord_inner=ord_inner),
-        grid=g1,
-        in_specs=[
-            pl.BlockSpec((1, 1, XB, N, nz), m5, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, XB, N, nz), m4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, XB, N, nz), m4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, XB, N, 1), m4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, XB, N, 1), m4, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, XB, N, nz), m5, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, XB, N, nz), m5, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(q_y.shape, dt),
-            jax.ShapeDtypeStruct(q_y.shape, dt),
-        ],
-        interpret=interpret,
-    )(q_y, cry, yfx, dya, area)
+    g1 = (nt, N // XB, T)
+    m5, m4 = _m5, _m4
+    qay, fy_in = _run_k1(q_y, cry, yfx, dya, area, n=n, h=h,
+                         ord_inner=ord_inner, interpret=interpret)
 
     # ---- K2: shifts along x; chunk y --------------------------------------
-    # the y-chunk sits in the sublane slot of K2's blocks -> multiple of 8;
-    # same rows*cols VMEM budget as _chunk, floored at the 8-sublane tile
-    yb_cap = max(8, (28 * 56) // N // 8 * 8)
-    YB = next((c for c in range(min(yb_cap, N), 0, -8) if N % c == 0), N)
+    YB = _ychunk(N)
     nyc = N // YB
     g2 = (nt, nyc, T)
     m5y = lambda t, c, a: (a, t, 0, c, 0)
@@ -325,36 +346,15 @@ def transport_batched_means(
     ord_inner = 8 if hord == 10 else hord
     XB = _chunk(N)
     dt = q_y.dtype
-    nxc = N // XB
 
     # ---- K1: identical kernel/specs to transport_batched ------------------
-    g1 = (nt, nxc, T)
-    m5 = lambda t, c, a: (a, t, c, 0, 0)
-    m4 = lambda t, c, a: (t, c, 0, 0)
-    qay, fy_in = pl.pallas_call(
-        functools.partial(_k1_inner_y, n=n, h=h, ord_inner=ord_inner),
-        grid=g1,
-        in_specs=[
-            pl.BlockSpec((1, 1, XB, N, nz), m5, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, XB, N, nz), m4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, XB, N, nz), m4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, XB, N, 1), m4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, XB, N, 1), m4, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, XB, N, nz), m5, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, XB, N, nz), m5, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(q_y.shape, dt),
-            jax.ShapeDtypeStruct(q_y.shape, dt),
-        ],
-        interpret=interpret,
-    )(q_y, cry, yfx, dya, area)
+    g1 = (nt, N // XB, T)
+    m5, m4 = _m5, _m4
+    qay, fy_in = _run_k1(q_y, cry, yfx, dya, area, n=n, h=h,
+                         ord_inner=ord_inner, interpret=interpret)
 
     # ---- K2 (means): no xmf input, unmultiplied mean out -------------------
-    yb_cap = max(8, (28 * 56) // N // 8 * 8)
-    YB = next((c for c in range(min(yb_cap, N), 0, -8) if N % c == 0), N)
+    YB = _ychunk(N)
     nyc = N // YB
     g2 = (nt, nyc, T)
     m5y = lambda t, c, a: (a, t, 0, c, 0)

@@ -42,7 +42,7 @@ def sim1_solver(w, dm, gm, dz, pt, pm, pem, ws, dt, p_fac):
     """
     from pace_tpu.ops.pallas import sim1_pallas as sim1_pallas_mod
 
-    if sim1_pallas_mod.enabled(w.dtype):
+    if sim1_pallas_mod.enabled(w.dtype) and w.ndim == 4:
         return sim1_pallas_mod.sim1_pallas(
             w, dm, gm, dz, pt, pm, pem, ws, dt, p_fac
         )

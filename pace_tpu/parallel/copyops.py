@@ -38,8 +38,25 @@ if HALO_MODE in ("structured", "strips"):
     HALO_MODE = "ppermute"
 
 
+_INITIAL_MODE = HALO_MODE
+
+
 def structured_enabled() -> bool:
     return HALO_MODE == "ppermute"
+
+
+def select_default_for_mesh(n_devices: int) -> None:
+    """Driver hook: default to the structured (ppermute) lowering for a
+    multi-device mesh — unless the user already chose a mode, via the
+    PACE_HALO env var or by assigning HALO_MODE programmatically (both
+    always win; this only replaces the import-time default)."""
+    global HALO_MODE
+    if os.environ.get("PACE_HALO") is not None:
+        return
+    if HALO_MODE != _INITIAL_MODE:
+        return
+    if n_devices > 1:
+        HALO_MODE = "ppermute"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,8 +20,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # optional layout override: python scripts/c384_memory.py 6 8 8
-_LAYOUT = tuple(int(a) for a in sys.argv[1:4]) if len(sys.argv) >= 4 \
-    else (6, 4, 4)
+if len(sys.argv) == 1:
+    _LAYOUT = (6, 4, 4)
+elif len(sys.argv) == 4:
+    _LAYOUT = tuple(int(a) for a in sys.argv[1:4])
+else:
+    sys.exit("usage: c384_memory.py [tile x y]  (exactly 3 layout args)")
 _NDEV = _LAYOUT[0] * _LAYOUT[1] * _LAYOUT[2]
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")

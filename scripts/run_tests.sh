@@ -20,10 +20,25 @@ GROUPS_LIST=(
   "tests/test_sharded_step.py"
 )
 
+# every tests/test_*.py must appear in exactly one group (a file added
+# to tests/ but not listed here would otherwise silently never run)
+missing=$(comm -23 \
+  <(ls tests/test_*.py | sort) \
+  <(printf '%s\n' "${GROUPS_LIST[@]}" | tr ' ' '\n' | sort -u))
+if [ -n "$missing" ]; then
+  echo "ERROR: test files not assigned to any group:" >&2
+  echo "$missing" >&2
+  exit 2
+fi
+
 rc=0
 for group in "${GROUPS_LIST[@]}"; do
   echo "=== pytest $group ==="
   # shellcheck disable=SC2086
-  python -m pytest $group -q -m "not slow" "$@" || rc=1
+  python -m pytest $group -q -m "not slow" "$@"
+  grc=$?
+  # exit code 5 = no tests collected (e.g. a -k filter deselected the
+  # whole group) — not a failure
+  if [ $grc -ne 0 ] && [ $grc -ne 5 ]; then rc=1; fi
 done
 exit $rc
