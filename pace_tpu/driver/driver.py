@@ -237,7 +237,8 @@ class Driver:
             # which unit tests call) so only a real Driver changes the
             # process default; PACE_HALO or a programmatic HALO_MODE
             # assignment always wins.
-            copyops.select_default_for_mesh(self.mesh.size)
+            if self.mesh is not None:
+                copyops.select_default_for_mesh(self.mesh.size)
             self._step = self._build_step()
             self.diagnostics = (
                 config.diagnostics_config.diagnostics_factory(sizing)
