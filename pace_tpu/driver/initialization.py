@@ -153,3 +153,29 @@ class RestartInit(Initializer):
         return DycoreState(
             **{k: jnp.asarray(v, dtype) for k, v in arrays.items()}
         )
+
+
+@InitializerSelector.register("predefined")
+@dataclasses.dataclass
+class PredefinedStateInit(Initializer):
+    """Start from an already-constructed DycoreState (reference
+    driver/pace/driver/initialization.py:381 PredefinedStateInit).
+
+    For programmatic use (tests, embedding in a larger jax program, the
+    translate harness); not meaningfully constructible from yaml since
+    the state holds device arrays.
+    """
+
+    dycore_state: object = None
+    start_time_str: str = "2016-08-01 00:00:00"
+
+    @property
+    def start_time(self) -> datetime:
+        return datetime.fromisoformat(self.start_time_str)
+
+    def get_dycore_state(self, sizing, dtype):
+        if self.dycore_state is None:
+            raise ValueError(
+                "predefined initializer requires a dycore_state object"
+            )
+        return self.dycore_state

@@ -31,7 +31,9 @@ def xyz_to_lonlat(xyz):
 
 
 def normalize_xyz(xyz):
-    return xyz / np.sqrt((xyz ** 2).sum(axis=-1, keepdims=True))
+    # zero vectors (padding cells) normalize to NaN; callers nan_to_num
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return xyz / np.sqrt((xyz ** 2).sum(axis=-1, keepdims=True))
 
 
 def xyz_midpoint(*points):

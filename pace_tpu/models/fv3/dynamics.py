@@ -27,6 +27,7 @@ from pace_tpu.ops import saturation_adjustment as satadj
 from pace_tpu.parallel import halo as halo_mod
 from pace_tpu.parallel.topology import get_topology
 from pace_tpu.utils import constants
+from pace_tpu.utils.checkpointer import checkpoint
 from pace_tpu.utils.debug import nancheck
 from pace_tpu.utils.gridtools import GridSizing
 
@@ -72,6 +73,12 @@ def fv_dynamics(
 ) -> DycoreState:
     s = {f.name: getattr(state, f.name) for f in dataclasses.fields(state)}
 
+    # named in-model savepoints (reference fv_dynamics.py:321-341
+    # _checkpoint_fvdynamics): no-ops unless a checkpointer is active
+    checkpoint("FVDynamics-In", sizing=(n, h), u=s["u"], v=s["v"], w=s["w"],
+               delp=s["delp"], pt=s["pt"], delz=s["delz"],
+               qvapor=s["qvapor"])
+
     # --- compute_preamble ---------------------------------------------------
     q_con, cvm, pkz, cappa, dp1 = moist_cv.fv_setup(
         s["qvapor"], s["qliquid"], s["qrain"], s["qsnow"], s["qice"],
@@ -99,6 +106,10 @@ def fv_dynamics(
 
         if config.z_tracer:
             advected = {name: s[name] for name in TRACER_NAMES[:NQ]}
+            # reference fv_dynamics.py:377-398 _checkpoint_tracer_advection
+            checkpoint("Tracer2D1L-In", sizing=(n, h), qvapor=advected["qvapor"],
+                       qliquid=advected["qliquid"], dp1=dp_initial,
+                       mfxd=s["mfxd"], mfyd=s["mfyd"])
             advected = tradv.tracer_advection(
                 advected, dp_initial, s["mfxd"], s["mfyd"], s["cxd"],
                 s["cyd"], gd, topo, n, h, config.hord_tr,
@@ -107,10 +118,16 @@ def fv_dynamics(
             s.update(advected)
             nancheck("tracer_advection", n, h,
                      **{k: advected[k] for k in list(advected)[:3]})
+            checkpoint("Tracer2D1L-Out", sizing=(n, h), qvapor=s["qvapor"],
+                       qliquid=s["qliquid"], mfxd=s["mfxd"],
+                       mfyd=s["mfyd"])
         else:
             raise NotImplementedError("z_tracer=False")
 
-        # vertical remapping
+        # vertical remapping (reference fv_dynamics.py:399-422
+        # _checkpoint_remapping_in/_out)
+        checkpoint("Remapping-In", sizing=(n, h), pt=s["pt"], delp=s["delp"],
+                   delz=s["delz"], u=s["u"], v=s["v"], w=s["w"])
         tracers = {name: s[name] for name in remapping.REMAP_TRACERS}
         sat_fn = None
         if config.do_sat_adj:
@@ -132,6 +149,8 @@ def fv_dynamics(
                      "pkz", "pk", "pe", "ps"):
             s[name] = out[name]
         cappa = out["cappa"]
+        checkpoint("Remapping-Out", sizing=(n, h), pt=s["pt"], delp=s["delp"],
+                   delz=s["delz"], u=s["u"], v=s["v"], w=s["w"])
         nancheck("lagrangian_to_eulerian", n, h, pt=s["pt"],
                  delp=s["delp"], u=s["u"], v=s["v"], w=s["w"],
                  pkz=s["pkz"])
@@ -163,4 +182,7 @@ def fv_dynamics(
     s["u"], s["v"] = u, v
     nancheck("cubed_to_latlon", n, h, ua=ua, va=va, pt=s["pt"])
 
+    checkpoint("FVDynamics-Out", sizing=(n, h), u=s["u"], v=s["v"], w=s["w"],
+               delp=s["delp"], pt=s["pt"], delz=s["delz"],
+               qvapor=s["qvapor"])
     return DycoreState(**s)

@@ -216,12 +216,14 @@ def init_tc_state(
     # _interpolate_winds_dgrid_agrid, vort=True branch)
     ua = np.zeros_like(u)
     va = np.zeros_like(v)
-    ua[:, :, :-1] = 0.5 * (
-        u[:, :, :-1] * dx[:, :, :-1, None] + u[:, :, 1:] * dx[:, :, 1:, None]
-    ) / dxa[:, :, :-1, None]
-    va[:, :-1] = 0.5 * (
-        v[:, :-1] * dy[:, :-1, :, None] + v[:, 1:] * dy[:, 1:, :, None]
-    ) / dya[:, :-1, :, None]
+    # padding cells divide by zero/NaN geometry; nan_to_num below zeroes them
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ua[:, :, :-1] = 0.5 * (
+            u[:, :, :-1] * dx[:, :, :-1, None] + u[:, :, 1:] * dx[:, :, 1:, None]
+        ) / dxa[:, :, :-1, None]
+        va[:, :-1] = 0.5 * (
+            v[:, :-1] * dy[:, :-1, :, None] + v[:, 1:] * dy[:, 1:, :, None]
+        ) / dya[:, :-1, :, None]
 
     for name, val in (
         ("delp", delp), ("delz", delz), ("pe", pe), ("peln", peln),

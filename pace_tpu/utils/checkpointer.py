@@ -34,6 +34,67 @@ class Checkpointer:
         raise NotImplementedError
 
 
+# --- in-model savepoint hook -------------------------------------------------
+#
+# The reference instruments the dycore itself with named checkpoints
+# (fv3core/pace/fv3core/stencils/fv_dynamics.py:321-422 _checkpoint_fvdynamics
+# /_checkpoint_remapping_in/..., dyn_core.py:626-668 _checkpoint_csw/_dsw) and
+# drives them from tests/savepoint/test_checkpoints.py.  Here the whole step
+# is one jitted XLA program, so the hook is a host callback: `checkpoint()`
+# emits nothing at all unless a checkpointer is active at TRACE time (the
+# production graph is unchanged), and an emitted callback dispatches to
+# whichever checkpointer is active at RUN time — so one compiled step serves
+# calibration, snapshotting, and validation by swapping the active object.
+
+_ACTIVE: "Checkpointer | None" = None
+
+
+def set_checkpointer(cp) -> "Checkpointer | None":
+    """Install `cp` as the active in-model checkpointer; returns previous."""
+    global _ACTIVE
+    prev = _ACTIVE
+    _ACTIVE = cp
+    return prev
+
+
+@contextlib.contextmanager
+def checkpointing(cp: Checkpointer):
+    prev = set_checkpointer(cp)
+    try:
+        yield cp
+    finally:
+        set_checkpointer(prev)
+
+
+def _dispatch(savepoint_name: str, names, *arrays) -> None:
+    cp = _ACTIVE
+    if cp is not None:
+        cp(str(savepoint_name), **dict(zip(names, arrays)))
+
+
+def checkpoint(savepoint_name: str, sizing=None, **arrays) -> None:
+    """Record `arrays` at the named savepoint (jit-safe; see above).
+
+    `sizing=(n, halo)` restricts capture to the compute domain
+    [halo : halo+n+1] in x and y (covers staggered edges): padded wedge
+    cells hold garbage whose run-to-run spread under perturbation is
+    unbounded, so they must not enter threshold calibration/validation.
+    """
+    if _ACTIVE is None:
+        return
+    if sizing is not None:
+        n, h = sizing
+        arrays = {
+            k: (v[:, h:h + n + 1, h:h + n + 1]
+                if getattr(v, "ndim", 0) >= 3 else v)
+            for k, v in arrays.items()
+        }
+    names = tuple(arrays.keys())
+    jax.debug.callback(
+        _dispatch, savepoint_name, names, *arrays.values(), ordered=True
+    )
+
+
 class NullCheckpointer(Checkpointer):
     def __call__(self, savepoint_name: str, **kwargs) -> None:
         pass
@@ -147,10 +208,15 @@ class ThresholdCalibrationCheckpointer(Checkpointer):
                     mn = self._minimums[sp][i][name]
                     mx = self._maximums[sp][i][name]
                     mean_abs = self._sums[sp][i][name] / self._n_trials
-                    abs_err = float(np.max(mx - mn))
+                    # padding cells hold NaN deterministically (see
+                    # docs/KNOWN_ISSUES.md) — they carry no spread
+                    finite = np.isfinite(mn) & np.isfinite(mx)
+                    with np.errstate(invalid="ignore"):
+                        spread = np.where(finite, mx - mn, 0.0)
+                    abs_err = float(np.max(spread))
                     with np.errstate(divide="ignore", invalid="ignore"):
-                        rel = np.where(mean_abs > 0, (mx - mn) / mean_abs,
-                                       0.0)
+                        rel = np.where(finite & (mean_abs > 0),
+                                       spread / mean_abs, 0.0)
                     call[name] = Threshold(
                         relative=self._factor * float(np.max(rel)),
                         absolute=self._factor * abs_err,
@@ -182,9 +248,18 @@ class ValidationCheckpointer(Checkpointer):
             arr = _to_numpy(arr)
             ref = ref_call[name]
             thr = thr_call[name]
-            abs_err = np.abs(arr - ref)
-            denom = np.abs(ref)
-            with np.errstate(divide="ignore", invalid="ignore"):
+            # NaN-aware (padding wedges hold NaN deterministically): cells
+            # non-finite in BOTH agree; finiteness mismatch is an error
+            both_bad = ~np.isfinite(arr) & ~np.isfinite(ref)
+            if (~np.isfinite(arr) ^ ~np.isfinite(ref)).any():
+                raise AssertionError(
+                    f"{savepoint_name}[{i}].{name}: finiteness pattern "
+                    f"differs from reference"
+                )
+            with np.errstate(divide="ignore", invalid="ignore",
+                             over="ignore"):
+                abs_err = np.where(both_bad, 0.0, np.abs(arr - ref))
+                denom = np.abs(np.where(both_bad, 1.0, ref))
                 rel_err = np.where(denom > 0, abs_err / denom, 0.0)
             if float(abs_err.max()) > thr.absolute and \
                     float(rel_err.max()) > thr.relative:
