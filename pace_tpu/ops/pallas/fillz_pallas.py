@@ -57,12 +57,14 @@ def _kernel(q_ref, dp_ref, out_ref, qs, ufix, lfix, zfix, *, nz: int):
     # ---- fix_interior: forward borrow k = 1..nz-2 (carry = staged k-1
     # value + its dp + the lower_fix owed by level k)
     def body(k, carry):
+        # dynamic k reads ride the refs (dynamic value indexing lowers
+        # to dynamic_slice, which Mosaic does not implement in-kernel)
         q_prev, dp_prev, low_prev = carry
         q_k = qs[:, k]  # staged (k==1 from fix_top; else original)
-        q_k = jnp.where(k == 1, q_k, q[:, k])
-        dp_k = dp[:, k]
-        q_next_orig = q[:, k + 1]
-        dp_next = dp[:, k + 1]
+        q_k = jnp.where(k == 1, q_k, q_ref[:, k])
+        dp_k = dp_ref[:, k]
+        q_next_orig = q_ref[:, k + 1]
+        dp_next = dp_ref[:, k + 1]
         q_k = jnp.where(low_prev != 0.0, q_k - low_prev / dp_k, q_k)
         neg0 = q_k < 0.0
         can_up = jnp.logical_and(neg0, q_prev > 0.0)

@@ -51,11 +51,15 @@ def _pick_xb(ni: int) -> int:
 
 def _kernel(w_ref, dm_ref, gm_ref, dz_ref, pt_ref, pm_ref, pem_ref,
             ws_ref, w_out_ref, dz_out_ref, pe_out_ref,
-            pp, gam, aa, wbuf, gam2,
+            pp, gam, aa, wbuf, gam2, grf, bbr, ddr,
             *, nz: int, dt: float, p_fac: float):
     """One (XB, nz[+1], Nj) block: full SIM1 solve in VMEM.
 
-    Scratch (VMEM): pp/gam (XB, nz+1, Nj); aa/wbuf/gam2 (XB, nz, Nj).
+    Scratch (VMEM): pp/gam (XB, nz+1, Nj); aa/wbuf/gam2/grf/bbr/ddr
+    (XB, nz, Nj).  All dynamic k-indexed reads inside the fori_loops go
+    through refs: a dynamic index on a VALUE lowers to dynamic_slice,
+    which Mosaic has no in-kernel lowering for; dynamic sublane ref
+    loads/stores are supported.
     """
     t1g = 2.0 * dt * dt
     rdt = 1.0 / dt
@@ -75,9 +79,9 @@ def _kernel(w_ref, dm_ref, gm_ref, dz_ref, pt_ref, pm_ref, pem_ref,
     bb = 2.0 * (1.0 + g_rat)
     dd = 3.0 * (pe_l[:, :-1] + g_rat * pe_l[:, 1:])
     zrow = jnp.zeros_like(g_rat[:, :1])
-    g_rat_f = jnp.concatenate([g_rat, zrow], 1)           # (XB, nz, Nj)
-    bb = jnp.concatenate([bb, jnp.full_like(zrow, 2.0)], 1)
-    dd = jnp.concatenate([dd, 3.0 * pe_l[:, -1:]], 1)
+    grf[...] = jnp.concatenate([g_rat, zrow], 1)          # (XB, nz, Nj)
+    bbr[...] = jnp.concatenate([bb, jnp.full_like(zrow, 2.0)], 1)
+    ddr[...] = jnp.concatenate([dd, 3.0 * pe_l[:, -1:]], 1)
 
     # ---- forward elimination for pp (k = 1..nz), carry (bet, prev pp)
     pp[:, 0] = jnp.zeros_like(pp[:, 0])
@@ -85,16 +89,16 @@ def _kernel(w_ref, dm_ref, gm_ref, dz_ref, pt_ref, pm_ref, pem_ref,
 
     def fwd(k, bet):
         # xs index m = k-1; bb[k] for k = nz is bb[nz-1] (unused padding)
-        g_prev = g_rat_f[:, k - 1]
-        d_prev = dd[:, k - 1]
-        b_cur = bb[:, jnp.minimum(k, nz - 1)]
+        g_prev = grf[:, k - 1]
+        d_prev = ddr[:, k - 1]
+        b_cur = bbr[:, jnp.minimum(k, nz - 1)]
         gam_k = g_prev / bet
         pp_k = (d_prev - pp[:, k - 1]) / bet
         pp[:, k] = pp_k
         gam[:, k] = gam_k
         return b_cur - gam_k
 
-    jax.lax.fori_loop(1, nz + 1, fwd, bb[:, 0], unroll=False)
+    jax.lax.fori_loop(1, nz + 1, fwd, bbr[:, 0], unroll=False)
 
     # ---- backward substitution: pp_k -= gam_k * pp_{k+1}, k = nz-1..1
     def bwd(m, _):
@@ -116,21 +120,21 @@ def _kernel(w_ref, dm_ref, gm_ref, dz_ref, pt_ref, pm_ref, pem_ref,
     p1_last = t1g * gm[:, nz - 1] / dz[:, nz - 1] * (pem[:, nz] + ppv[:, nz])
 
     # ---- w solve, forward (carry bet)
-    aav = aa[...]
-    bet0 = dm[:, 0] - aav[:, 1]
+    bet0 = dm[:, 0] - aa[:, 1]
     wbuf[:, 0] = (dm[:, 0] * w1[:, 0] + dt * ppv[:, 1]) / bet0
     gam2[:, 0] = jnp.zeros_like(gam2[:, 0])
     ws = ws_ref[...]  # (XB, 1, Nj)
 
     def wfwd(k, bet):
-        aak = aav[:, k]
+        aak = aa[:, k]
         last = k == nz - 1
-        aak1 = jnp.where(last, p1_last, aav[:, jnp.minimum(k + 1, nz - 1)])
+        aak1 = jnp.where(last, p1_last, aa[:, jnp.minimum(k + 1, nz - 1)])
         extra = jnp.where(last, p1_last * ws[:, 0], 0.0)
         gam2_k = aak / bet
-        bet_k = dm[:, k] - (aak + aak1 + aak * gam2_k)
+        dmk = dm_ref[:, k]
+        bet_k = dmk - (aak + aak1 + aak * gam2_k)
         w_k = (
-            dm[:, k] * w1[:, k] + dt * (ppv[:, k + 1] - ppv[:, k])
+            dmk * w_ref[:, k] + dt * (pp[:, k + 1] - pp[:, k])
             - extra - aak * wbuf[:, k - 1]
         ) / bet_k
         wbuf[:, k] = w_k
@@ -157,15 +161,17 @@ def _kernel(w_ref, dm_ref, gm_ref, dz_ref, pt_ref, pm_ref, pem_ref,
     )
     pe_out_ref[...] = pe_i
 
-    # ---- p1 backward recurrence for the dz update (reuse pp as scratch)
+    # ---- p1 backward recurrence for the dz update (reuse pp as scratch;
+    # pe reads ride pe_out_ref — written just above — since dynamic
+    # value indexing has no Mosaic lowering)
     pp[:, nz - 1] = (pe_i[:, nz - 1] + 2.0 * pe_i[:, nz]) / 3.0
 
     def p1bwd(m, _):
         k = nz - 2 - m
         pp[:, k] = (
-            pe_i[:, k] + bb[:, k] * pe_i[:, k + 1]
-            + g_rat_f[:, k] * pe_i[:, k + 2]
-        ) / 3.0 - g_rat_f[:, k] * pp[:, k + 1]
+            pe_out_ref[:, k] + bbr[:, k] * pe_out_ref[:, k + 1]
+            + grf[:, k] * pe_out_ref[:, k + 2]
+        ) / 3.0 - grf[:, k] * pp[:, k + 1]
         return 0
 
     jax.lax.fori_loop(0, nz - 1, p1bwd, 0, unroll=False)
@@ -227,6 +233,9 @@ def sim1_pallas(w, dm, gm, dz, pt, pm, pem, ws, dt, p_fac,
             pltpu.VMEM((XB, nz, nj), dtype),      # aa
             pltpu.VMEM((XB, nz, nj), dtype),      # wbuf
             pltpu.VMEM((XB, nz, nj), dtype),      # gam2
+            pltpu.VMEM((XB, nz, nj), dtype),      # grf (g_rat, padded)
+            pltpu.VMEM((XB, nz, nj), dtype),      # bbr (bb diag, padded)
+            pltpu.VMEM((XB, nz, nj), dtype),      # ddr (rhs, padded)
         ],
         interpret=interpret,
     )(*ins)

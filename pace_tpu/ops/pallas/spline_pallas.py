@@ -60,16 +60,20 @@ def _kernel(a_ref, dp_ref, qs_ref, q_ref, gam_ref, *, nz: int, iv: int):
         gam_ref[:, 1] = gam1
 
         def fwd(k, carry):
-            # k = 2..nz-1; carry = (q_prev, gam_prev)
+            # k = 2..nz-1; carry = (q_prev, gam_prev).  All k-indexed
+            # reads go through the REFS: a dynamic index on a value
+            # lowers to dynamic_slice, which Mosaic does not implement
+            # inside a kernel; dynamic sublane ref loads are supported.
             q_prev, gam_prev = carry
-            old_gr = dp[:, k - 2] / dp[:, k - 1]
+            old_gr = dp_ref[:, k - 2] / dp_ref[:, k - 1]
             old_bet = 2.0 + old_gr + old_gr - gam_prev
             gam_k = old_gr / old_bet
-            gr = dp[:, k - 1] / dp[:, k]
+            gr = dp_ref[:, k - 1] / dp_ref[:, k]
             bet = 2.0 + gr + gr - gam_k
             is_last = (k == nz - 1).astype(a.dtype)
             q_k = (
-                3.0 * (a[:, k - 1] + a[:, k]) - is_last * gr * qs - q_prev
+                3.0 * (a_ref[:, k - 1] + a_ref[:, k])
+                - is_last * gr * qs - q_prev
             ) / bet
             q_ref[:, k] = q_k
             gam_ref[:, k] = gam_k
@@ -97,11 +101,12 @@ def _kernel(a_ref, dp_ref, qs_ref, q_ref, gam_ref, *, nz: int, iv: int):
     gam_ref[:, 0] = gam0
 
     def fwd(k, carry):
-        # k = 1..nz-1; scan body with xs index m = k-1
+        # k = 1..nz-1; scan body with xs index m = k-1.  Reads ride the
+        # refs (dynamic value indexing has no Mosaic lowering).
         q_prev, gam_prev = carry
-        d4 = dp[:, k - 1] / dp[:, k]
+        d4 = dp_ref[:, k - 1] / dp_ref[:, k]
         bet = 2.0 + d4 + d4 - gam_prev
-        q_k = (3.0 * (a[:, k - 1] + d4 * a[:, k]) - q_prev) / bet
+        q_k = (3.0 * (a_ref[:, k - 1] + d4 * a_ref[:, k]) - q_prev) / bet
         gam_k = d4 / bet
         q_ref[:, k] = q_k
         gam_ref[:, k] = gam_k
