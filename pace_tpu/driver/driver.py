@@ -255,30 +255,33 @@ class Driver:
         cfg = self.config.dycore_config
         do_sg = cfg.fv_sg_adj > 0 and physics is not None
 
+        def physics_step(state):
+            u_dt0 = v_dt0 = None
+            if do_sg:
+                from pace_tpu.ops.fv_subgridz import (
+                    dry_convective_adjustment,
+                )
+
+                s = {f.name: getattr(state, f.name)
+                     for f in dc.fields(state)}
+                ptop = float(np.asarray(jax.device_get(
+                    self.state.grid_data.vertical.ptop
+                )))
+                s, u_dt0, v_dt0 = dry_convective_adjustment(
+                    s, self.config.dt_atmos, cfg.fv_sg_adj,
+                    cfg.n_sponge, nwat=cfg.nwat, ptop=ptop,
+                )
+                state = type(state)(**s)
+            phy = self.dycore_to_physics(state)
+            phy = physics(phy)
+            return self.end_of_step_update(
+                state, phy, u_dt0=u_dt0, v_dt0=v_dt0
+            )
+
         def step(state):
             state = dycore.step_dynamics(state)
             if physics is not None:
-                u_dt0 = v_dt0 = None
-                if do_sg:
-                    from pace_tpu.ops.fv_subgridz import (
-                        dry_convective_adjustment,
-                    )
-
-                    s = {f.name: getattr(state, f.name)
-                         for f in dc.fields(state)}
-                    ptop = float(np.asarray(jax.device_get(
-                        self.state.grid_data.vertical.ptop
-                    )))
-                    s, u_dt0, v_dt0 = dry_convective_adjustment(
-                        s, self.config.dt_atmos, cfg.fv_sg_adj,
-                        cfg.n_sponge, nwat=cfg.nwat, ptop=ptop,
-                    )
-                    state = type(state)(**s)
-                phy = self.dycore_to_physics(state)
-                phy = physics(phy)
-                state = self.end_of_step_update(
-                    state, phy, u_dt0=u_dt0, v_dt0=v_dt0
-                )
+                state = physics_step(state)
             return state
 
         if self.mesh is not None:
@@ -298,6 +301,24 @@ class Driver:
             self.state.dycore_state = jax.tree_util.tree_map(
                 shard, self.state.dycore_state
             )
+        if self.config.performance_config.sections:
+            # per-section profiling path: separate jits per phase, host
+            # timing into the per-step timer (no donation — the state
+            # threads through several dispatches per step)
+            dyn_sectioned = dycore.build_sectioned_step()
+            phys_jit = jax.jit(physics_step) if physics is not None \
+                else None
+            timer = self.performance_collector.timestep_timer
+
+            def sectioned(state):
+                state = dyn_sectioned(state, timer)
+                if phys_jit is not None:
+                    with timer.clock("Physics"):
+                        state = phys_jit(state)
+                        jax.block_until_ready(state.delp)
+                return state
+
+            return sectioned
         # donate the input state: in and out states have identical
         # pytree structure/shapes, so XLA reuses the buffers in place —
         # roughly halves the state footprint per step (the C192 memory

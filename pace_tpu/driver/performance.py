@@ -25,6 +25,11 @@ class PerformanceConfig:
     experiment_name: str = "test"
     json_all_rank_threshold: int = 1
     profile_dir: Optional[str] = None
+    # sections=True splits the step into DynCore / TracerAdvection /
+    # Remapping (+ Physics) jits with host timing per phase — the
+    # reference's per-section timers (collector.py:60-153).  Costs extra
+    # dispatches and loses cross-phase fusion/donation: measure-only mode.
+    sections: bool = False
 
     def build(self):
         if self.performance_mode:

@@ -122,6 +122,8 @@ def _kernel(q_ref, dp_ref, out_ref, qs, ufix, lfix, zfix, *, nz: int):
 
 def fix_tracer_pallas(q, dp, interpret: bool = False):
     """Drop-in for fillz.fix_tracer: q/dp (6, Ni, Nj, nz) k-last."""
+    from pace_tpu.ops.pallas._lanes import pad_lanes
+
     six, ni, nj, nz = q.shape
     dtype = q.dtype
     XB = _pick_xb(ni)
@@ -129,9 +131,14 @@ def fix_tracer_pallas(q, dp, interpret: bool = False):
     def to_kj(x):
         return jnp.swapaxes(x, -1, -2)
 
+    # lane axis must be 128-aligned for the dynamic-k ref reads (_lanes)
+    qp, _ = pad_lanes(to_kj(q))
+    dpp, _ = pad_lanes(to_kj(dp))
+    njp = qp.shape[-1]
+
     def spec():
         return pl.BlockSpec(
-            (1, XB, nz, nj),
+            (1, XB, nz, njp),
             (lambda t, c: (t, c, 0, 0)),
             memory_space=pltpu.VMEM,
         )
@@ -142,13 +149,13 @@ def fix_tracer_pallas(q, dp, interpret: bool = False):
         grid=(six, ni // XB),
         in_specs=[spec(), spec()],
         out_specs=spec(),
-        out_shape=jax.ShapeDtypeStruct((six, ni, nz, nj), dtype),
+        out_shape=jax.ShapeDtypeStruct((six, ni, nz, njp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((XB, nz, nj), dtype),  # qs staged values
-            pltpu.VMEM((XB, nz, nj), dtype),  # upper_fix
-            pltpu.VMEM((XB, nz, nj), dtype),  # lower_fix
-            pltpu.VMEM((XB, nz, nj), dtype),  # zfix flags
+            pltpu.VMEM((XB, nz, njp), dtype),  # qs staged values
+            pltpu.VMEM((XB, nz, njp), dtype),  # upper_fix
+            pltpu.VMEM((XB, nz, njp), dtype),  # lower_fix
+            pltpu.VMEM((XB, nz, njp), dtype),  # zfix flags
         ],
         interpret=interpret,
-    )(to_kj(q), to_kj(dp))
-    return to_kj(out)
+    )(qp, dpp)
+    return to_kj(out[..., :nj])

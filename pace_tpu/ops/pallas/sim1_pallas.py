@@ -154,17 +154,27 @@ def _kernel(w_ref, dm_ref, gm_ref, dz_ref, pt_ref, pm_ref, pem_ref,
     w_out = wbuf[...]
     w_out_ref[...] = w_out
 
-    # ---- pe on interfaces: cumsum of mass-weighted dw (k sublane axis)
-    dwe = dm * (w_out - w1) * rdt
-    pe_i = jnp.concatenate(
-        [jnp.zeros_like(dwe[:, :1]), jnp.cumsum(dwe, axis=1)], 1
-    )
-    pe_out_ref[...] = pe_i
+    # ---- pe on interfaces: cumulative sum of mass-weighted dw along the
+    # k sublane axis.  jnp.cumsum has no Mosaic TC lowering (and a
+    # triangular-matmul form would need an in-kernel transpose, another
+    # lowering gap), so run the recurrence through refs: aa is free after
+    # the w solve — stash dwe there and accumulate row-by-row into
+    # pe_out_ref (dynamic sublane ref indexing is supported).
+    aa[...] = dm * (w_out - w1) * rdt  # dwe
+    pe_out_ref[:, 0] = jnp.zeros_like(aa[:, 0])
+
+    def pesum(k, _):
+        pe_out_ref[:, k] = pe_out_ref[:, k - 1] + aa[:, k - 1]
+        return 0
+
+    jax.lax.fori_loop(1, nz + 1, pesum, 0, unroll=False)
 
     # ---- p1 backward recurrence for the dz update (reuse pp as scratch;
     # pe reads ride pe_out_ref — written just above — since dynamic
     # value indexing has no Mosaic lowering)
-    pp[:, nz - 1] = (pe_i[:, nz - 1] + 2.0 * pe_i[:, nz]) / 3.0
+    pp[:, nz - 1] = (
+        pe_out_ref[:, nz - 1] + 2.0 * pe_out_ref[:, nz]
+    ) / 3.0
 
     def p1bwd(m, _):
         k = nz - 2 - m
@@ -189,6 +199,8 @@ def sim1_pallas(w, dm, gm, dz, pt, pm, pem, ws, dt, p_fac,
     """Drop-in for the scan-path sim1_solver body (same argument layout:
     layer fields (6, Ni, Nj, nz); pem (6, Ni, Nj, nz+1); ws (6, Ni, Nj)).
     Returns (w, dz, pe_interfaces) in the same k-last layout."""
+    from pace_tpu.ops.pallas._lanes import pad_lanes
+
     six, ni, nj, nz = w.shape
     dtype = w.dtype
     XB = _pick_xb(ni)
@@ -196,21 +208,24 @@ def sim1_pallas(w, dm, gm, dz, pt, pm, pem, ws, dt, p_fac,
     def to_kj(q):  # (6, Ni, Nj, k) -> (6, Ni, k, Nj)
         return jnp.swapaxes(q, -1, -2)
 
-    ins = [to_kj(q) for q in (w, dm, gm, dz, pt, pm, pem)]
-    ins.append(ws[:, :, None, :])  # (6, Ni, 1, Nj)
+    # lane axis must be 128-aligned for the dynamic-k ref reads (_lanes);
+    # dm is the divisor everywhere, edge replication keeps it nonzero
+    ins = [pad_lanes(to_kj(q))[0] for q in (w, dm, gm, dz, pt, pm, pem)]
+    ins.append(pad_lanes(ws[:, :, None, :])[0])  # (6, Ni, 1, Njp)
+    njp = ins[0].shape[-1]
 
     def spec(kdim):
         return pl.BlockSpec(
-            (1, XB, kdim, nj),
+            (1, XB, kdim, njp),
             (lambda t, c: (t, c, 0, 0)),
             memory_space=pltpu.VMEM,
         )
 
     in_specs = [spec(nz)] * 6 + [spec(nz + 1), spec(1)]
     out_shapes = [
-        jax.ShapeDtypeStruct((six, ni, nz, nj), dtype),
-        jax.ShapeDtypeStruct((six, ni, nz, nj), dtype),
-        jax.ShapeDtypeStruct((six, ni, nz + 1, nj), dtype),
+        jax.ShapeDtypeStruct((six, ni, nz, njp), dtype),
+        jax.ShapeDtypeStruct((six, ni, nz, njp), dtype),
+        jax.ShapeDtypeStruct((six, ni, nz + 1, njp), dtype),
     ]
     out_specs = [spec(nz), spec(nz), spec(nz + 1)]
 
@@ -228,15 +243,16 @@ def sim1_pallas(w, dm, gm, dz, pt, pm, pem, ws, dt, p_fac,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((XB, nz + 1, nj), dtype),  # pp
-            pltpu.VMEM((XB, nz + 1, nj), dtype),  # gam
-            pltpu.VMEM((XB, nz, nj), dtype),      # aa
-            pltpu.VMEM((XB, nz, nj), dtype),      # wbuf
-            pltpu.VMEM((XB, nz, nj), dtype),      # gam2
-            pltpu.VMEM((XB, nz, nj), dtype),      # grf (g_rat, padded)
-            pltpu.VMEM((XB, nz, nj), dtype),      # bbr (bb diag, padded)
-            pltpu.VMEM((XB, nz, nj), dtype),      # ddr (rhs, padded)
+            pltpu.VMEM((XB, nz + 1, njp), dtype),  # pp
+            pltpu.VMEM((XB, nz + 1, njp), dtype),  # gam
+            pltpu.VMEM((XB, nz, njp), dtype),      # aa
+            pltpu.VMEM((XB, nz, njp), dtype),      # wbuf
+            pltpu.VMEM((XB, nz, njp), dtype),      # gam2
+            pltpu.VMEM((XB, nz, njp), dtype),      # grf (g_rat, padded)
+            pltpu.VMEM((XB, nz, njp), dtype),      # bbr (bb diag, padded)
+            pltpu.VMEM((XB, nz, njp), dtype),      # ddr (rhs, padded)
         ],
         interpret=interpret,
     )(*ins)
-    return to_kj(w_o), to_kj(dz_o), to_kj(pe_o)
+    return (to_kj(w_o[..., :nj]), to_kj(dz_o[..., :nj]),
+            to_kj(pe_o[..., :nj]))

@@ -141,6 +141,8 @@ def spline_interfaces_pallas(a1, delp, qs, iv: int,
     Note: in the iv==-2 branch the scan path returns gam shifted by one
     (gam[k] = elimination coeff of ROW k); this kernel stores the same
     convention (gam_ref[:, k] holds the coefficient used by row k)."""
+    from pace_tpu.ops.pallas._lanes import pad_lanes
+
     six, ni, nj, nz = a1.shape
     dtype = a1.dtype
     XB = _pick_xb(ni)
@@ -148,11 +150,15 @@ def spline_interfaces_pallas(a1, delp, qs, iv: int,
     def to_kj(q):
         return jnp.swapaxes(q, -1, -2)
 
-    ins = [to_kj(a1), to_kj(delp), qs[:, :, None, :]]
+    # lane axis must be 128-aligned for the dynamic-k ref reads (_lanes);
+    # delp is the divisor, edge replication keeps it nonzero
+    ins = [pad_lanes(to_kj(a1))[0], pad_lanes(to_kj(delp))[0],
+           pad_lanes(qs[:, :, None, :])[0]]
+    njp = ins[0].shape[-1]
 
     def spec(kdim):
         return pl.BlockSpec(
-            (1, XB, kdim, nj),
+            (1, XB, kdim, njp),
             (lambda t, c: (t, c, 0, 0)),
             memory_space=pltpu.VMEM,
         )
@@ -166,9 +172,9 @@ def spline_interfaces_pallas(a1, delp, qs, iv: int,
         in_specs=[spec(nz), spec(nz), spec(1)],
         out_specs=[spec(nz + 1), spec(nz + 1)],
         out_shape=[
-            jax.ShapeDtypeStruct((six, ni, nz + 1, nj), dtype),
-            jax.ShapeDtypeStruct((six, ni, nz + 1, nj), dtype),
+            jax.ShapeDtypeStruct((six, ni, nz + 1, njp), dtype),
+            jax.ShapeDtypeStruct((six, ni, nz + 1, njp), dtype),
         ],
         interpret=interpret,
     )(*ins)
-    return to_kj(q_o), to_kj(gam_o)
+    return to_kj(q_o[..., :nj]), to_kj(gam_o[..., :nj])

@@ -148,12 +148,41 @@ class VarSpec:
     Fortran savepoint arrays are per-rank (i, j, k) blocks including
     halos; `istart/jstart` give the storage offset of the block's first
     point in our (tile, i, j, k) global cube (0 = first halo row for
-    halo-inclusive fields, `halo` for compute-domain-only fields)."""
+    halo-inclusive fields, `halo` for compute-domain-only fields) —
+    for multi-rank layouts these are the offsets of the SUBTILE-local
+    block relative to the subtile's compute origin (the same numbers;
+    see `assemble`).
+
+    `kaxis=1` marks Fortran (i, k, j)-ordered storage (the reference's
+    `pe`/`peln` convention, translate.py "kaxis"): the block is
+    transposed to (i, j, k) on read and back on write.  `no_j=True`
+    marks j-collapsed (i, k[, extra]) blocks (reference Fillz `axis: 1`
+    with a squeezed j); they assemble to (6, Ni, ...) arrays with no j
+    axis.  `column=True` marks per-rank 1-D column data (ak/bk/pfull):
+    identical on every rank, passed through unassembled."""
 
     serialname: Optional[str] = None   # name in the savepoint file
     istart: int = 0
     jstart: int = 0
     kstart: int = 0
+    kaxis: Optional[int] = None
+    no_j: bool = False
+    column: bool = False
+    # optional=True: skip silently when the savepoint does not serialize
+    # this variable (framework-internal storages, e.g. d_sw's ut/vt)
+    optional: bool = False
+
+
+def rank_to_tile_subtile(rank: int, layout: Tuple[int, int]):
+    """rank -> (tile, sy, sx) for a (layout_y, layout_x) decomposition,
+    matching the reference's rank ordering (CubedSpherePartitioner:
+    tile = rank // ranks_per_tile; TilePartitioner.subtile_index:
+    (rank // layout[1], rank % layout[1]) — x fastest)."""
+    ly, lx = layout
+    per_tile = ly * lx
+    tile = rank // per_tile
+    sub = rank % per_tile
+    return tile, sub // lx, sub % lx
 
 
 class TranslateCase:
@@ -163,50 +192,97 @@ class TranslateCase:
     Subclasses set `in_vars` / `out_vars` ({name: VarSpec}) and implement
     `compute(inputs) -> outputs` on global (6, N, N[, nz]) arrays.
     Mirrors TranslateFortranData2Py.compute/slice_output
-    (translate.py:75-260) for the 1-rank-per-tile decomposition."""
+    (translate.py:75-260) for any (layout_y x layout_x)-per-tile
+    decomposition (reference parallel_translate.py:14)."""
 
     max_error = 1e-14
     near_zero = 1e-18
     ignore_near_zero_errors: Sequence[str] = ()
 
-    def __init__(self, sizing, dtype=np.float64):
+    def __init__(self, sizing, dtype=np.float64, layout=(1, 1)):
         self.sizing = sizing
         self.dtype = dtype
+        self.layout = tuple(layout)
+        if sizing.n % self.layout[0] or sizing.n % self.layout[1]:
+            raise ValueError(
+                f"layout {self.layout} does not divide n={sizing.n}")
         self.in_vars: Dict[str, VarSpec] = {}
         self.out_vars: Dict[str, VarSpec] = {}
+
+    @property
+    def n_ranks(self) -> int:
+        return 6 * self.layout[0] * self.layout[1]
 
     # -- assembly ----------------------------------------------------------
     def _storage_shape(self):
         N = self.sizing.N
         return (6, N, N)
 
+    def _block_origin(self, rank: int) -> Tuple[int, int, int]:
+        """(tile, i0, j0): storage origin of this rank's subtile block
+        (before the VarSpec istart/jstart offsets)."""
+        tile, sy, sx = rank_to_tile_subtile(rank, self.layout)
+        nsub_y = self.sizing.n // self.layout[0]
+        nsub_x = self.sizing.n // self.layout[1]
+        return tile, sx * nsub_x, sy * nsub_y
+
+    @staticmethod
+    def _from_fortran(block: np.ndarray, spec: VarSpec) -> np.ndarray:
+        b = np.asarray(block)
+        if spec.kaxis == 1 and b.ndim >= 3:
+            b = np.swapaxes(b, 1, 2)  # (i, k, j) -> (i, j, k)
+        return b
+
+    @staticmethod
+    def _to_fortran(block: np.ndarray, spec: VarSpec) -> np.ndarray:
+        if spec.kaxis == 1 and block.ndim >= 3:
+            return np.swapaxes(block, 1, 2)  # (i, j, k) -> (i, k, j)
+        return block
+
     def assemble(self, per_rank: List[Dict[str, np.ndarray]]):
         """Per-rank Fortran blocks -> global (6, N, N[, nz]) arrays.
 
-        Supports the 6-rank (one tile per rank) decomposition; each
-        rank's block lands at its VarSpec offsets on its tile."""
-        if len(per_rank) != 6:
-            raise NotImplementedError(
-                "translate assembly supports the 6-rank (layout 1x1) "
-                f"decomposition; got {len(per_rank)} ranks"
+        Each rank's block lands at its subtile origin plus the VarSpec
+        offsets on its tile; blocks of adjacent subtiles overlap in their
+        shared halo rows (consistent data from the serialized model, so
+        last-write-wins is exact — the reference assembles the same way,
+        parallel_translate.py state_from_inputs)."""
+        if len(per_rank) != self.n_ranks:
+            raise ValueError(
+                f"layout {self.layout} expects {self.n_ranks} ranks; "
+                f"got {len(per_rank)}"
             )
         out = {}
         for name, spec in self.in_vars.items():
             sname = spec.serialname or name
+            if spec.optional and sname not in per_rank[0]:
+                continue
             blocks = [r[sname] for r in per_rank]
             b0 = np.asarray(blocks[0])
             if b0.ndim == 0:
                 out[name] = b0.item()
                 continue
-            shape = self._storage_shape() + tuple(b0.shape[2:])
+            if spec.column:
+                out[name] = np.asarray(blocks[0], self.dtype)
+                continue
+            b0 = self._from_fortran(b0, spec)
+            if spec.no_j:
+                shape = (6, self.sizing.N) + tuple(b0.shape[1:])
+            else:
+                shape = self._storage_shape() + tuple(b0.shape[2:])
             arr = np.zeros(shape, self.dtype)
-            for t, b in enumerate(blocks):
-                b = np.asarray(b)
-                arr[
-                    t,
-                    spec.istart:spec.istart + b.shape[0],
-                    spec.jstart:spec.jstart + b.shape[1],
-                ] = b
+            for rank, b in enumerate(blocks):
+                b = self._from_fortran(np.asarray(b), spec)
+                tile, i0, j0 = self._block_origin(rank)
+                if spec.no_j:
+                    arr[tile, i0 + spec.istart:i0 + spec.istart
+                        + b.shape[0]] = b
+                else:
+                    arr[
+                        tile,
+                        i0 + spec.istart:i0 + spec.istart + b.shape[0],
+                        j0 + spec.jstart:j0 + spec.jstart + b.shape[1],
+                    ] = b
             out[name] = arr
         return out
 
@@ -214,11 +290,21 @@ class TranslateCase:
                      ref_block: np.ndarray, rank: int) -> np.ndarray:
         """Extract the (i, j[, k]) block matching the reference layout."""
         spec = self.out_vars[name]
-        return np.asarray(global_arr)[
-            rank,
-            spec.istart:spec.istart + ref_block.shape[0],
-            spec.jstart:spec.jstart + ref_block.shape[1],
+        tile, i0, j0 = self._block_origin(rank)
+        g = np.asarray(global_arr)
+        if spec.column:
+            return g
+        if spec.no_j:
+            block = g[tile, i0 + spec.istart:i0 + spec.istart
+                      + ref_block.shape[0]]
+            return block
+        ref_shape = self._from_fortran(ref_block, spec).shape
+        block = g[
+            tile,
+            i0 + spec.istart:i0 + spec.istart + ref_shape[0],
+            j0 + spec.jstart:j0 + spec.jstart + ref_shape[1],
         ]
+        return self._to_fortran(block, spec)
 
     def compute(self, inputs: Dict) -> Dict:
         raise NotImplementedError
@@ -233,7 +319,13 @@ class TranslateCase:
         near_zero = cfg.get("near_zero", self.near_zero)
         ignore_nz = set(cfg.get("ignore_near_zero_errors",
                                 self.ignore_near_zero_errors))
-        per_rank = [dataset.inputs(r, i_call) for r in range(6)]
+        n_ranks = self.n_ranks
+        if dataset.n_ranks != n_ranks:
+            raise ValueError(
+                f"dataset has {dataset.n_ranks} ranks; case layout "
+                f"{self.layout} expects {n_ranks}"
+            )
+        per_rank = [dataset.inputs(r, i_call) for r in range(n_ranks)]
         inputs = self.assemble(per_rank)
         outputs = self.compute(inputs)
         errors = {}
@@ -241,7 +333,7 @@ class TranslateCase:
         for name in self.out_vars:
             sname = self.out_vars[name].serialname or name
             worst = 0.0
-            for rank in range(6):
+            for rank in range(n_ranks):
                 ref = np.asarray(dataset.outputs(rank, i_call)[sname])
                 got = self.slice_output(name, outputs[name], ref, rank)
                 ok = testing.success_array(
@@ -263,6 +355,36 @@ class TranslateCase:
             raise AssertionError(
                 f"{dataset.name}: " + "; ".join(failures))
         return errors
+
+    # -- decomposition (inverse of assemble; for writing savepoints) -------
+    def decompose(self, name: str, global_arr: np.ndarray, rank: int,
+                  spec_map: Optional[Dict[str, VarSpec]] = None,
+                  staggered: Tuple[int, int] = (0, 0)) -> np.ndarray:
+        """Cut one rank's Fortran block out of a global array: the
+        subtile compute domain plus its full halo collar (+ optional
+        staggered extent), at the VarSpec offsets.  Used to produce
+        reference-layout savepoints from this model's global state."""
+        spec = (spec_map or self.in_vars)[name]
+        tile, i0, j0 = self._block_origin(rank)
+        h = self.sizing.halo
+        nsub_y = self.sizing.n // self.layout[0]
+        nsub_x = self.sizing.n // self.layout[1]
+        g = np.asarray(global_arr)
+        if spec.column:
+            return g
+        # block extents: halo-inclusive blocks (istart=0) span
+        # nsub + 2h (+stagger); compute-only blocks (istart=h) span
+        # nsub (+stagger)
+        ni = nsub_x + (2 * h if spec.istart == 0 else 0) + staggered[0]
+        if spec.no_j:
+            return g[tile, i0 + spec.istart:i0 + spec.istart + ni]
+        nj = nsub_y + (2 * h if spec.jstart == 0 else 0) + staggered[1]
+        block = g[
+            tile,
+            i0 + spec.istart:i0 + spec.istart + ni,
+            j0 + spec.jstart:j0 + spec.jstart + nj,
+        ]
+        return self._to_fortran(block, spec)
 
 
 def write_savepoint(

@@ -3,6 +3,7 @@
 # Each combo runs in its own process (the PACE_* flags are read at
 # trace time).  Results append to /tmp/flag_matrix.jsonl.
 set -u
+set -o pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/flag_matrix.jsonl}
 
@@ -14,6 +15,7 @@ run() {
     || echo "{\"name\": \"$name\", \"rc\": \"FAIL\"}" >> "$OUT"
 }
 
+run baseline    PACE_NOOP=0
 run sim1        PACE_PALLAS_SIM1=1
 run spline      PACE_PALLAS_SPLINE=1
 run fused_dsw   PACE_FUSED_DSW=1

@@ -73,18 +73,22 @@ def main():
     per_step_ms = (time.perf_counter() - t0) / n_steps * 1000
 
     # digest after 2*n_steps: interior means of key prognostics.
-    # State layout is (tile, y, x, z) — z LAST (models/fv3/state.py:123).
+    # State layout is (tile, x, y, z) — z LAST (models/fv3/state.py:31
+    # FIELD_METADATA; ops/xppm.py x_flux shifts axis 1).
+    # Staggered fields use their true extents (u: (X, YI) -> (n, n+1),
+    # v: (XI, Y) -> (n+1, n)) so the digest covers the complete compute
+    # domain of every field.
     h = sizing.halo
+    extents = {"delp": (n, n), "pt": (n, n), "w": (n, n),
+               "qvapor": (n, n), "u": (n, n + 1), "v": (n + 1, n)}
     dig = {}
-    for name in ("delp", "pt", "u", "v", "w", "qvapor"):
+    finite = True
+    for name, (ey, ex) in extents.items():
         a = getattr(state, name)
-        v = a[:, h:h + n, h:h + n]
+        v = a[:, h:h + ey, h:h + ex]
         dig[name] = [float(jnp.mean(v)), float(jnp.mean(jnp.abs(v))),
                      float(jnp.max(jnp.abs(v)))]
-    finite = all(
-        bool(jnp.isfinite(getattr(state, f)[:, h:h+n, h:h+n]).all())
-        for f in ("delp", "pt", "u", "v", "w", "qvapor")
-    )
+        finite = finite and bool(jnp.isfinite(v).all())
 
     flags = {k: v for k, v in os.environ.items() if k.startswith("PACE_")
              and k not in ("PACE_XLA_CACHE",)}

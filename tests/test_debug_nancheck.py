@@ -63,3 +63,53 @@ def test_nancheck_fires_inside_jit(monkeypatch):
     x = jnp.ones((6, 16, 16))
     with pytest.raises(Exception, match="poisoned"):
         jax.block_until_ready(jax.jit(f)(x))
+
+
+def test_statecheck_negative_delp(monkeypatch):
+    """PACE_DEBUG_STATECHECK: delp < 0 in the compute domain must raise
+    (reference sdfg_debug_passes.py:185 negative_delp_checker)."""
+    from pace_tpu.utils import debug
+
+    monkeypatch.setattr(debug, "STATECHECK_ENABLED", True)
+    n, h = 4, 3
+    good = np.full((6, 16, 16, 2), 10.0)
+    bad = good.copy()
+    bad[1, h + 1, h + 2, 0] = -1.0
+    debug._host_check("stage", n, h, ("delp",), good)  # no raise
+    with pytest.raises(debug.NegativeValueDetected,
+                       match=r"negative delp.*'delp'"):
+        debug._host_check("stage", n, h, ("delp",), bad)
+    # negative delp in the halo padding is legitimate mid-graph
+    pad = good.copy()
+    pad[:, 0, 0, :] = -5.0
+    debug._host_check("stage", n, h, ("delp",), pad)  # no raise
+
+
+def test_statecheck_negative_tracer(monkeypatch):
+    """Tracer < -1e-8 raises; tiny negative round-off (> -1e-8) passes,
+    matching the reference threshold (sdfg_debug_passes.py:238)."""
+    from pace_tpu.utils import debug
+
+    monkeypatch.setattr(debug, "STATECHECK_ENABLED", True)
+    n, h = 4, 3
+    roundoff = np.full((6, 16, 16, 2), 1e-6)
+    roundoff[2, h, h, 1] = -5e-9  # within tolerance
+    debug._host_check("s", n, h, ("qvapor",), roundoff)  # no raise
+    bad = roundoff.copy()
+    bad[2, h, h, 1] = -1e-3
+    with pytest.raises(debug.NegativeValueDetected,
+                       match=r"negative tracer.*'qvapor'"):
+        debug._host_check("s", n, h, ("qvapor",), bad)
+    # non-tracer fields may be negative (winds etc.)
+    debug._host_check("s", n, h, ("u",), np.full((6, 16, 16, 2), -40.0))
+
+
+def test_statecheck_disabled_means_finite_only():
+    """With only NANCHECK semantics (STATECHECK off), negative values are
+    not an error."""
+    from pace_tpu.utils import debug
+
+    assert not debug.STATECHECK_ENABLED
+    n, h = 4, 3
+    neg = np.full((6, 16, 16, 2), -1.0)
+    debug._host_check("s", n, h, ("delp", "qvapor"), neg, neg)  # no raise

@@ -76,3 +76,43 @@ def test_cli_two_steps(tmp_path, monkeypatch):
     # restart written by cleanup (resumable state)
     restart_dir = tmp_path / "RESTART"
     assert restart_dir.exists() and os.listdir(restart_dir)
+
+
+def test_sectioned_perf_report(tmp_path, monkeypatch):
+    """performance_config.sections: true splits the step into DynCore /
+    TracerAdvection / Remapping jits and reports each section per step —
+    the reference's per-section timers (ai2cm/pace
+    driver/pace/driver/performance/collector.py:60-153,
+    fv_dynamics.py:497-610 timer sections)."""
+    from pace_tpu.driver.run import main
+
+    cfg = _config(tmp_path)
+    cfg["performance_config"] = {
+        "performance_mode": True,
+        "experiment_name": "sectioned",
+        "sections": True,
+    }
+    cfg["dycore_config"]["k_split"] = 2  # sections accumulate over k_split
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    monkeypatch.chdir(tmp_path)
+    rc = main([str(cfg_path), "--log-level", "WARNING"])
+    assert rc == 0
+
+    report = json.loads((tmp_path / "sectioned_perf.json").read_text())
+    steps = report["times_per_step"]
+    assert len(steps) == 2
+    for step in steps:
+        for key in ("mainloop", "DynCore", "TracerAdvection", "Remapping"):
+            assert key in step, (key, sorted(step))
+            assert step[key] > 0.0
+        # the sections are disjoint sub-intervals of the step
+        assert (step["DynCore"] + step["TracerAdvection"]
+                + step["Remapping"]) <= step["mainloop"] * 1.05
+
+    # sectioned mode must not change the numerics: diagnostics finite
+    out_files = sorted(os.listdir(tmp_path / "output"))
+    last = np.load(tmp_path / "output" / out_files[-1])
+    for name in ("ua", "pt", "ps"):
+        assert np.isfinite(last[name]).all(), name

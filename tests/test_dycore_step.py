@@ -67,7 +67,6 @@ class TestDycoreStep:
         np.testing.assert_allclose(m1, m0, rtol=1e-10)
 
 
-@pytest.mark.slow
 def test_91_level_step():
     """The 91-level ak/bk table drives a valid step (smaller smoke than
     the 79-level fixtures; one step, interior finite)."""

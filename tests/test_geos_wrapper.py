@@ -1,7 +1,6 @@
 """GEOS wrapper: numpy-in / numpy-out single-step embedding interface."""
 
 import numpy as np
-import pytest
 
 from pace_tpu.models.fv3.geos_wrapper import GeosDycoreWrapper
 from pace_tpu.models.fv3.init.baroclinic import init_baroclinic_state
@@ -9,7 +8,6 @@ from pace_tpu.models.fv3.state import TRACER_NAMES
 from pace_tpu.utils.gridtools import GridSizing
 
 
-@pytest.mark.slow
 def test_geos_wrapper_roundtrip():
     import jax.numpy as jnp
 

@@ -13,7 +13,6 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
                       "c12_op_digest.json")
 
 
-@pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(GOLDEN),
                     reason="op digest not generated")
 def test_op_golden():
