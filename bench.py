@@ -83,13 +83,46 @@ def main():
     from pace_tpu.utils.gridtools import GridSizing
 
     n = int(os.environ.get("PACE_BENCH_N", "48"))
+    coupled = os.environ.get("PACE_BENCH_COUPLED", "0") == "1"
     nz = 79
     dt_atmos = 450.0
     sizing = GridSizing(n, nz)
     grid_data = generate_grid_data(n, nz, dtype=jnp.float32)
-    config = DynamicalCoreConfig(do_sat_adj=False, k_split=1, n_split=2)
+    config = DynamicalCoreConfig(
+        do_sat_adj=coupled, k_split=1, n_split=2
+    )
     core = DynamicalCore(config, sizing, grid_data, timestep=dt_atmos)
     state = init_baroclinic_state(sizing, dtype=jnp.float32)
+
+    if coupled:
+        # North star 2 (BASELINE.md): C48 baroclinic + GFDL cloud
+        # microphysics coupled step — the reference driver's full loop
+        # (dycore -> DycoreToPhysics -> Physics -> UpdateAtmosphereState,
+        # ai2cm/pace driver/pace/driver/driver.py _step).
+        import numpy as np
+
+        from pace_tpu.models.coupler import (
+            DycoreToPhysics,
+            UpdateAtmosphereState,
+        )
+        from pace_tpu.models.physics.config import PhysicsConfig
+        from pace_tpu.models.physics.physics import Physics
+
+        phys_config = PhysicsConfig(dt_atmos=dt_atmos, npz=nz)
+        ptop = float(np.asarray(jax.device_get(grid_data.vertical.ptop)))
+        physics = Physics(
+            phys_config, grid_data.horizontal.area, ptop, dt_atmos
+        )
+        d2p = DycoreToPhysics(sizing, dtype=jnp.float32)
+        update = UpdateAtmosphereState(grid_data, core.topo, sizing, dt_atmos)
+
+        def step_fn(s):
+            s = core.step_dynamics(s)
+            phy = d2p(s)
+            phy = physics(phy)
+            return update(s, phy)
+    else:
+        step_fn = core.step_dynamics
 
     # donate the input state (identical in/out pytree): halves the
     # state's HBM footprint, the lever for C96+/C192 single-chip fits.
@@ -103,7 +136,7 @@ def main():
         import jax.lax as lax
 
         return lax.fori_loop(
-            0, n_steps, lambda i, s: core.step_dynamics(s), state
+            0, n_steps, lambda i, s: step_fn(s), state
         )
 
     run_n_jit = jax.jit(run_n, static_argnums=1, donate_argnums=0)
@@ -141,8 +174,9 @@ def main():
     interior = state.delp[:, h:h + n, h:h + n]
     assert bool(jnp.isfinite(interior).all()), "NaN in benchmark state"
 
+    tag = f"c{n}_coupled" if coupled else f"c{n}"
     print(json.dumps({
-        "metric": f"c{n}_simulated_days_per_day",
+        "metric": f"{tag}_simulated_days_per_day",
         "value": round(simulated_days_per_day, 2),
         "unit": "days/day",
         "vs_baseline": round(simulated_days_per_day, 2),

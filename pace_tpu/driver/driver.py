@@ -39,6 +39,7 @@ from pace_tpu.parallel import copyops
 from pace_tpu.models.fv3.dynamics import DynamicalCore
 from pace_tpu.models.physics.config import PhysicsConfig
 from pace_tpu.models.physics.physics import Physics
+from pace_tpu.utils import timing
 from pace_tpu.utils.gridtools import GridSizing
 
 
@@ -315,7 +316,7 @@ class Driver:
                 if phys_jit is not None:
                     with timer.clock("Physics"):
                         state = phys_jit(state)
-                        jax.block_until_ready(state.delp)
+                        timing.fence(state.delp)
                 return state
 
             return sectioned

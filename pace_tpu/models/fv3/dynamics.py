@@ -26,7 +26,7 @@ from pace_tpu.ops.del2cubed import hyperdiffusion
 from pace_tpu.ops import saturation_adjustment as satadj
 from pace_tpu.parallel import halo as halo_mod
 from pace_tpu.parallel.topology import get_topology
-from pace_tpu.utils import constants
+from pace_tpu.utils import constants, timing
 from pace_tpu.utils.checkpointer import checkpoint
 from pace_tpu.utils.debug import nancheck
 from pace_tpu.utils.gridtools import GridSizing
@@ -118,15 +118,15 @@ class DynamicalCore:
                 dp_initial = s["delp"]
                 with timer.clock("DynCore"):
                     s, cappa, wsd = acou(s, cappa, wsd, k_loop + 1)
-                    jax.block_until_ready(s["delp"])
+                    timing.fence(s["delp"])
                 with timer.clock("TracerAdvection"):
                     s = tra(s, dp_initial)
-                    jax.block_until_ready(s["qvapor"])
+                    timing.fence(s["qvapor"])
                 with timer.clock("Remapping"):
                     s, cappa = rem(
                         s, cappa, wsd, k_loop == config.k_split - 1
                     )
-                    jax.block_until_ready(s["delp"])
+                    timing.fence(s["delp"])
             return post(s)
 
         return step

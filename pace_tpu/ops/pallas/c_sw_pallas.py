@@ -39,10 +39,11 @@ _MET_K2 = ("rarea", "dx", "dy", "dxc", "dyc", "rarea_c", "fC", "cosa_v",
 
 def enabled() -> bool:
     """Off by default: the fused c_sw kernels are numerically validated
-    (tests/test_tile_stencil.py) but Mosaic compiles their large bodies in
-    O(10 min) on the tunneled TPU and the C48 K2 body still exceeds the
-    16 MB scoped-VMEM budget; opt in with PACE_PALLAS_CSW=1 once the
-    bodies are split finer."""
+    (tests/test_tile_stencil.py) but REJECTED on-chip — the 2026-08-19
+    flag matrix run fails Mosaic compile with "result/input offset
+    mismatch on non-concat dimension" (the wide multi-input blocks mix
+    offsets Mosaic cannot reconcile).  Opt in with PACE_PALLAS_CSW=1
+    only after splitting the bodies finer."""
     return os.environ.get("PACE_PALLAS_CSW") == "1"
 
 

@@ -23,7 +23,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def enabled(dtype=None) -> bool:
-    """Opt-in via PACE_PALLAS_FILLZ=1 (f32 only; Mosaic has no 64-bit)."""
+    """Opt-in via PACE_PALLAS_FILLZ=1 (f32 only; Mosaic has no 64-bit).
+    REJECTED as a default: the on-chip flag matrix (2026-08-19, C48/79
+    f32) measured 149.85 ms/step vs 115.56 baseline (and 56 s compile).
+    Kept for the numerics pin (tests/test_fillz_pallas.py)."""
     if dtype is not None and jnp.dtype(dtype).itemsize >= 8:
         return False
     return os.environ.get("PACE_PALLAS_FILLZ") == "1"

@@ -33,13 +33,18 @@ from pace_tpu.utils import constants
 
 
 def enabled(dtype=None) -> bool:
-    """Opt-in via PACE_PALLAS_SIM1=1 (f32 only: Mosaic has no 64-bit
-    support).  Numerics are pinned against the scan path
-    (tests/test_sim1_pallas.py); flip the default once the Mosaic compile
-    and a timing win are confirmed on the real chip."""
+    """Default ON for f32 on TPU (PACE_PALLAS_SIM1=0 disables): the
+    on-chip flag matrix (2026-08-19, C48/79 f32, 10-step mean) measured
+    114.06 ms/step vs 115.56 baseline with digests matching at f32
+    rounding level.  f64 always takes the scan path (Mosaic has no
+    64-bit support); numerics are pinned against the scan path in
+    tests/test_sim1_pallas.py."""
     if dtype is not None and jnp.dtype(dtype).itemsize >= 8:
         return False
-    return os.environ.get("PACE_PALLAS_SIM1") == "1"
+    env = os.environ.get("PACE_PALLAS_SIM1")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 
 def _pick_xb(ni: int) -> int:

@@ -25,8 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 def enabled(dtype=None) -> bool:
     """Opt-in via PACE_PALLAS_SPLINE=1 (f32 only; Mosaic has no 64-bit).
-    Flip the default once the Mosaic compile and a timing win are
-    confirmed on the real chip."""
+    REJECTED as a default: the on-chip flag matrix (2026-08-19, C48/79
+    f32) measured 150.97 ms/step vs 115.56 baseline — the whole-column
+    kernel serializes work XLA otherwise overlaps.  Kept for the
+    numerics pin (tests/test_spline_pallas.py) and future retuning."""
     if dtype is not None and jnp.dtype(dtype).itemsize >= 8:
         return False
     return os.environ.get("PACE_PALLAS_SPLINE") == "1"

@@ -93,6 +93,22 @@ class _TimerContext:
 
 def _device_sync():
     try:
-        (jax.device_put(0.0) + 0).block_until_ready()
+        fence(jax.device_put(0.0) + 0)
     except Exception:
         pass
+
+
+def fence(arr):
+    """Reliable completion fence: device->host transfer of one element.
+
+    On the axon-tunneled TPU platform jax.block_until_ready returns
+    before execution finishes, so timers fenced with it attribute work
+    to whichever later call first transfers data.  Device execution is
+    stream-ordered, so fetching one element of `arr` (enqueued after
+    the producing computation) is a true fence on every backend.  Costs
+    one host round trip (~dispatch latency on the tunnel) — use only on
+    profiling paths, never in production step loops.
+    """
+    import numpy as np
+
+    np.asarray(jax.device_get(arr.ravel()[0]))

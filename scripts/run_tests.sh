@@ -19,6 +19,7 @@ GROUPS_LIST=(
   "tests/test_dycore_step.py tests/test_f32_step.py tests/test_checkpoints.py"
   "tests/test_golden.py tests/test_op_golden.py"
   "tests/test_sharded_step.py"
+  "tests/test_memory_feasibility.py"
 )
 
 # every tests/test_*.py must appear in exactly one group (a file added

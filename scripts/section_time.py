@@ -1,10 +1,18 @@
 """In-graph section timing at C48 f32 on the real TPU (fori_loop over each
 section so the ~19 ms tunnel dispatch amortizes)."""
 import dataclasses
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+
+from bench import _wait_for_backend
+
+_wait_for_backend()
 
 from pace_tpu.grid.generation import generate_grid_data
 from pace_tpu.models.fv3 import acoustics
@@ -111,12 +119,17 @@ crx, cry, xfx_, yfx_, ut0, vt0 = fxadv.fx_adv(
 
 
 def riem3_fn(args):
+    # carry shape must be preserved across fori_loop iterations: thread
+    # the solver outputs back into the state dict.
     s, cappa_, wsd = args
-    return riemann.riem_solver3(
+    s = dict(s)
+    dz, zh, pe, ppe, pk3, pk, peln, w = riemann.riem_solver3(
         225.0, cappa_, gd.vertical.ptop, zs, wsd, s["delz"], s["q_con"],
         s["delp"], s["pt"], zh0, s["pe"], jnp.zeros_like(s["pe"]),
         s["pk"], s["peln"], s["w"], config.p_fac, config.beta,
         config.use_logp, last_call=True)
+    s.update(delz=dz, pe=pe, pk=pk, peln=peln, w=w)
+    return (s, cappa_, wsd)
 
 
 timeit("riem_solver3 (scan path)", riem3_fn, (s0, cappa, wsd0))
@@ -127,9 +140,10 @@ _os.environ["PACE_PALLAS_SIM1"] = "0"
 
 
 def dzd_fn(a):
-    return updatedzd.update_dz_d(
+    zh_new, _ws = updatedzd.update_dz_d(
         zs, a, crx, cry, xfx_, yfx_, gd, col, config, n, h, 225.0,
         vp["dp_ref"])
+    return zh_new
 
 
 timeit("update_dz_d", dzd_fn, zh0)
@@ -141,9 +155,10 @@ gz0 = zh0 * 9.80665
 
 def nhpg_fn(args):
     u, v = args
-    return nhpg_mod.nh_p_grad(
+    out = nhpg_mod.nh_p_grad(
         u, v, pkc0, gz0, pk30, s0["delp"], gd, n, h, 225.0,
         gd.vertical.ptop, 0.28571428)
+    return (out[0], out[1])
 
 
 timeit("nh_p_grad", nhpg_fn, (s0["u"], s0["v"]))
@@ -152,3 +167,91 @@ _os.environ["PACE_PALLAS_SPLINE"] = "1"
 timeit("vertical remap (pallas spline)", remap_only, (s0, cappa, wsd0),
        iters=8)
 _os.environ["PACE_PALLAS_SPLINE"] = "0"
+
+# ---- remap sub-sections (round 3): where do the remap ms go? ----
+from pace_tpu.ops import fillz as fillz_mod  # noqa: E402
+from pace_tpu.ops import moist_cv as mcv  # noqa: E402
+from pace_tpu.ops.map_single import (  # noqa: E402
+    map_single, map_single_multi, map_single_stacked,
+)
+from pace_tpu.utils import constants as cst  # noqa: E402
+
+pe1_ = s0["pe"]
+ak_ = jnp.asarray(gd.vertical.ak, jnp.float32)
+bk_ = jnp.asarray(gd.vertical.bk, jnp.float32)
+ps_ = pe1_[..., -1]
+pe2_ = jnp.concatenate(
+    [jnp.full_like(pe1_[..., :1], gd.vertical.ptop),
+     ak_[1:nz] + bk_[1:nz] * ps_[..., None], pe1_[..., -1:]], -1)
+dp2_ = pe2_[..., 1:] - pe2_[..., :-1]
+pn2_ = jnp.log(pe2_)
+stack0 = jnp.stack([s0[nm] for nm in remapping.REMAP_TRACERS])
+
+
+def tracer_remap_fn(q):
+    return map_single_stacked(q, pe1_, pe2_, n, h, config.kord_tr, 0)
+
+
+timeit("remap: 9-tracer stack", tracer_remap_fn, stack0)
+
+
+def fillz_fn(q):
+    return jax.vmap(lambda t: fillz_mod.fix_tracer(t, dp2_))(q)
+
+
+timeit("remap: fillz (9 tracers)", fillz_fn, stack0)
+
+
+def pt_remap_fn(p):
+    return map_single(p, s0["peln"], pn2_, n, h,
+                      abs(config.kord_tm), 1, qmin=184.0)
+
+
+timeit("remap: pt (log-p)", pt_remap_fn, s0["pt"])
+
+
+def wdelz_fn(args):
+    w_, dz_ = args
+    return tuple(map_single_multi(
+        [(w_, config.kord_wz, -2, wsd0, 0.0),
+         (dz_, config.kord_wz, 1, None, 0.0)], pe1_, pe2_, n, h))
+
+
+timeit("remap: w+delz", wdelz_fn, (s0["w"], s0["delz"]))
+
+
+def uv_remap_fn(args):
+    u_, v_ = args
+    from pace_tpu.ops.stencil_utils import shift as _shift
+    pe_bot = pe1_[..., -1:]
+    pe0_u = jnp.concatenate(
+        [pe1_[..., :1],
+         0.5 * (_shift(pe1_, 0, -1)[..., 1:] + pe1_[..., 1:])], -1)
+    pe3_u = ak_ + 0.5 * bk_ * (_shift(pe_bot, 0, -1) + pe_bot)
+    u_ = map_single(u_, pe0_u, pe3_u, n, h, config.kord_mt, -1)
+    pe0_v = jnp.concatenate(
+        [pe1_[..., :1],
+         0.5 * (_shift(pe1_, -1)[..., 1:] + pe1_[..., 1:])], -1)
+    pe3_v = jnp.concatenate(
+        [jnp.broadcast_to(ak_[0], pe1_[..., :1].shape),
+         (ak_ + 0.5 * bk_ * (_shift(pe_bot, -1) + pe_bot))[..., 1:]], -1)
+    v_ = map_single(v_, pe0_v, pe3_v, n, h, config.kord_mt, -1)
+    return (u_, v_)
+
+
+timeit("remap: u+v", uv_remap_fn, (s0["u"], s0["v"]))
+
+
+def moist_fn(args):
+    pt_, delp_, delz_ = args
+    cvm_, gz_, qc_, cp_, ptn = mcv.moist_pt(
+        s0["qvapor"], s0["qliquid"], s0["qrain"], s0["qsnow"], s0["qice"],
+        s0["qgraupel"], pt_, delp_, delz_, cst.ZVIR)
+    qc2, gz2, cv2, cp2, pkz_ = mcv.moist_pkz(
+        s0["qvapor"], s0["qliquid"], s0["qrain"], s0["qsnow"], s0["qice"],
+        s0["qgraupel"], ptn, delp_, delz_, cst.ZVIR)
+    return (ptn, delp_ + 0.0 * pkz_, delz_ + 0.0 * qc2)
+
+
+timeit("remap: moist_pt+moist_pkz", moist_fn,
+       (s0["pt"], s0["delp"], s0["delz"]))
