@@ -85,7 +85,9 @@ def main():
     n = int(os.environ.get("PACE_BENCH_N", "48"))
     coupled = os.environ.get("PACE_BENCH_COUPLED", "0") == "1"
     nz = 79
-    dt_atmos = 450.0
+    # advective CFL: halve the step when the grid spacing halves
+    # (C48 -> 450 s, C96 -> 225 s — the ledger's C96 configuration)
+    dt_atmos = 450.0 * (48.0 / n)
     sizing = GridSizing(n, nz)
     grid_data = generate_grid_data(n, nz, dtype=jnp.float32)
     config = DynamicalCoreConfig(

@@ -169,6 +169,48 @@ def map_single_multi(items, pe1, pe2, n, h):
     return [out[i] for i in range(len(items))]
 
 
+def map_single_groups(groups, pe1, pe2, n, h):
+    """Remap several GROUPS of fields sharing one (pe1, pe2) pair: each
+    group is (q_stack(T_i, ..., nz) or q(..., nz), kord, mode, qs, qmin).
+    One remap_profile per group (vmapped over its stack), then ONE shared
+    searchsorted indicator + MXU contraction for every field of every
+    group — the indicator build/read is the dominant fixed cost of a
+    contraction, so the tracer stack and w/delz ride a single pass.
+
+    Returns a list of remapped stacks/fields matching the input ranks."""
+    base_ndim = pe1.ndim  # unstacked field rank
+    coeffs = []
+    sizes = []
+    stacked_in = []
+    for q, kord, mode, qs, qmin in groups:
+        if q.ndim == base_ndim:
+            q = q[None]
+            stacked_in.append(False)
+        else:
+            stacked_in.append(True)
+        sizes.append(q.shape[0])
+        dp1 = pe1[..., 1:] - pe1[..., :-1]
+        if qs is None:
+            qs_g = jnp.zeros(q.shape[1:-1], q.dtype)
+        else:
+            qs_g = qs
+        a = jax.vmap(
+            lambda t: remap_profile(qs_g, t, dp1, n, h, kord, mode, qmin)
+        )(q)
+        coeffs.append(a)
+    stacked = [jnp.concatenate(parts, 0) for parts in zip(*coeffs)]
+    stacked = jax.lax.optimization_barrier(tuple(stacked))
+    dp1 = pe1[..., 1:] - pe1[..., :-1]
+    out = lagrangian_contributions_stacked(pe1, pe2, *stacked, dp1)
+    results = []
+    start = 0
+    for size, was_stacked in zip(sizes, stacked_in):
+        r = out[start:start + size]
+        results.append(r if was_stacked else r[0])
+        start += size
+    return results
+
+
 def map_single_stacked(q_stack, pe1, pe2, n, h, kord, mode,
                        qmin: float = 0.0):
     """Remap a (T, ..., nz) STACK of fields sharing one (pe1, pe2) pair

@@ -12,9 +12,7 @@ import numpy as np
 
 from pace_tpu.ops import fillz as fillz_mod
 from pace_tpu.ops import moist_cv
-from pace_tpu.ops.map_single import (
-    map_single, map_single_multi, map_single_stacked,
-)
+from pace_tpu.ops.map_single import map_single, map_single_groups
 from pace_tpu.ops.stencil_utils import shift
 from pace_tpu.utils import constants
 
@@ -70,11 +68,17 @@ def lagrangian_to_eulerian(
     # remap pt in log-pressure coordinates
     pt = map_single(pt, peln, pn2, n, h, kord_tm, 1, qmin=T_MIN)
 
-    # remap tracers with negative-value filling; one batched graph via vmap
-    # (all tracer kords are equal for supported configs: reference
-    # mapn_tracer.py sets kord_tracer[5]=9 and kord_tr=9 in practice)
+    # tracers (negative-value filling applied after), w and delz all
+    # share (pe1, pe2): ONE searchsorted indicator + MXU contraction for
+    # all 11 fields (all tracer kords are equal for supported configs:
+    # reference mapn_tracer.py sets kord_tracer[5]=9 and kord_tr=9)
     stacked = jnp.stack([tracers[name] for name in REMAP_TRACERS])
-    stacked = map_single_stacked(stacked, pe1, pe2, n, h, kord_tr, 0)
+    stacked, w, delz = map_single_groups(
+        [(stacked, kord_tr, 0, None, 0.0),
+         (w, config.kord_wz, -2, wsd, 0.0),
+         (delz, config.kord_wz, 1, None, 0.0)],
+        pe1, pe2, n, h,
+    )
     if config.fill:
         stacked = jax.vmap(lambda q: fillz_mod.fix_tracer(q, dp2))(stacked)
     new_tracers = dict(tracers)
@@ -82,12 +86,6 @@ def lagrangian_to_eulerian(
         new_tracers[name] = stacked[i]
     tracers = new_tracers
 
-    # w and delz share (pe1, pe2): one indicator + contraction for both
-    w, delz = map_single_multi(
-        [(w, config.kord_wz, -2, wsd, 0.0),
-         (delz, config.kord_wz, 1, None, 0.0)],
-        pe1, pe2, n, h,
-    )
     delz = -delz * delp_new
     peln_new = pn2
     delp = delp_new

@@ -40,7 +40,13 @@ def main():
     nz = 79
     sizing = GridSizing(n, nz)
     grid_data = generate_grid_data(n, nz, dtype=jnp.float32)
-    config = DynamicalCoreConfig(do_sat_adj=False, k_split=1, n_split=2)
+    # k_split/n_split knobs: whole-config differentials are the reliable
+    # per-section measurement on the tunneled chip (docs/ROADMAP.md)
+    config = DynamicalCoreConfig(
+        do_sat_adj=False,
+        k_split=int(os.environ.get("PACE_BENCH_KSPLIT", "1")),
+        n_split=int(os.environ.get("PACE_BENCH_NSPLIT", "2")),
+    )
     core = DynamicalCore(config, sizing, grid_data, timestep=450.0)
 
     def run_n(state, n_steps):

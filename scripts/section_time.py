@@ -195,6 +195,37 @@ def tracer_remap_fn(q):
 timeit("remap: 9-tracer stack", tracer_remap_fn, stack0)
 
 
+from pace_tpu.ops.remap_profile import remap_profile as _rp  # noqa: E402
+from pace_tpu.ops.map_single import (  # noqa: E402
+    lagrangian_contributions_stacked as _lcs,
+)
+
+dp1_ = pe1_[..., 1:] - pe1_[..., :-1]
+zqs_ = jnp.zeros(s0["pt"].shape[:-1], jnp.float32)
+
+
+def profile_only_fn(q):
+    a1, a2, a3, a4 = jax.vmap(
+        lambda t: _rp(zqs_, t, dp1_, n, h, config.kord_tr, 0))(q)
+    return a1 + a2 + a3 + a4  # force all four outputs
+
+
+timeit("remap: 9-tracer profile only", profile_only_fn, stack0)
+
+_coef = jax.vmap(
+    lambda t: _rp(zqs_, t, dp1_, n, h, config.kord_tr, 0))(stack0)
+
+
+def contraction_only_fn(coefs):
+    a1, a2, a3, a4 = coefs
+    out = _lcs(pe1_, pe2_, a1, a2, a3, a4, dp1_)
+    return (out, a2, a3, a4)
+
+
+timeit("remap: 9-tracer contraction only",
+       lambda c: contraction_only_fn(c), _coef)
+
+
 def fillz_fn(q):
     return jax.vmap(lambda t: fillz_mod.fix_tracer(t, dp2_))(q)
 
