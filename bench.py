@@ -25,39 +25,10 @@ def _sync(arr):
     np.asarray(jax.device_get(arr.ravel()[0]))
 
 
-TRANSIENT_KEYS = (
-    "INTERNAL", "remote_compile", "UNAVAILABLE", "DEADLINE_EXCEEDED",
-    "response body", "backend setup", "Unable to initialize backend",
+from pace_tpu.utils.backend import (  # noqa: E402  (re-exported names)
+    is_transient as _is_transient,
+    wait_for_backend as _wait_for_backend,
 )
-
-
-def _is_transient(e: Exception) -> bool:
-    return any(key in str(e) for key in TRANSIENT_KEYS)
-
-
-def _wait_for_backend(max_wait_s: float = 1800.0):
-    """Block until the accelerator answers a trivial op.
-
-    The axon tunnel's backend init can fail with UNAVAILABLE while the
-    remote service restarts; backend init happens lazily at the FIRST
-    device op (e.g. inside grid generation), so it must be probed (and
-    retried) explicitly before any real work."""
-    import jax
-    import jax.numpy as jnp
-
-    deadline = time.monotonic() + max_wait_s
-    delay = 5.0
-    while True:
-        try:
-            jnp.zeros((8, 128)).block_until_ready()
-            return
-        except Exception as e:
-            if not _is_transient(e) or time.monotonic() > deadline:
-                raise
-            print(f"# backend unavailable ({type(e).__name__}); "
-                  f"retrying in {delay:.0f}s", file=sys.stderr)
-            time.sleep(delay)
-            delay = min(delay * 2, 60.0)
 
 
 def main():

@@ -42,6 +42,12 @@ def main(argv=None):
     cache_dir = enable_persistent_cache()
     logger.info("XLA compilation cache: %s", cache_dir)
 
+    # tunneled-TPU backends can fail transiently during init; probe with
+    # retries before building the model (no-op on local backends)
+    from pace_tpu.utils.backend import wait_for_backend
+
+    wait_for_backend()
+
     from pace_tpu.driver.driver import Driver, DriverConfig
 
     config = DriverConfig.from_yaml(args.config_path)

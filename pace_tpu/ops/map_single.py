@@ -120,6 +120,15 @@ def lagrangian_contributions_stacked(pe1, pe2, q4_1, q4_2, q4_3, q4_4,
         jnp.broadcast_to(shared, shared.shape[:1] + q4_2.shape[1:]),
         q4_2, q4_3 - q4_2, q4_4, c_hi[..., :-1], c_lo[..., :-1],
     ], axis=0)
+    # materialization fence ON THE CONCATENATED CHANNELS: without it the
+    # TPU layout assignment relayout-copies every channel piece into the
+    # dot operand layout separately (measured: 9 full-stack {4,0,3,2,1}
+    # copies, 46 ms for the 9-tracer remap); with one fence XLA fuses
+    # the whole limiter cascade into the concat, materializes chans
+    # once, and performs ONE layout copy (26 ms).  This fence subsumes
+    # the old per-coefficient barrier (every downstream consumer reads
+    # the einsum outputs, not the raw coefficients).
+    chans = jax.lax.optimization_barrier(chans)
     out = jnp.einsum(
         "...km,c...m->c...k", ind, chans,
         precision=jax.lax.Precision.HIGHEST,
@@ -164,7 +173,6 @@ def map_single_multi(items, pe1, pe2, n, h):
             qs = jnp.zeros(q.shape[:-1], q.dtype)
         coeffs.append(remap_profile(qs, q, dp1, n, h, kord, mode, qmin))
     stacked = [jnp.stack(parts) for parts in zip(*coeffs)]
-    stacked = jax.lax.optimization_barrier(tuple(stacked))
     out = lagrangian_contributions_stacked(pe1, pe2, *stacked, dp1)
     return [out[i] for i in range(len(items))]
 
@@ -199,7 +207,6 @@ def map_single_groups(groups, pe1, pe2, n, h):
         )(q)
         coeffs.append(a)
     stacked = [jnp.concatenate(parts, 0) for parts in zip(*coeffs)]
-    stacked = jax.lax.optimization_barrier(tuple(stacked))
     dp1 = pe1[..., 1:] - pe1[..., :-1]
     out = lagrangian_contributions_stacked(pe1, pe2, *stacked, dp1)
     results = []
@@ -221,9 +228,6 @@ def map_single_stacked(q_stack, pe1, pe2, n, h, kord, mode,
     a1, a2, a3, a4 = jax.vmap(
         lambda q: remap_profile(zero_qs, q, dp1, n, h, kord, mode, qmin)
     )(q_stack)
-    # materialization fence: the contraction consumes a2/a3/a4 in several
-    # channel slots, and without the barrier XLA duplicates the whole
-    # limiter cascade into each consumer fusion (cost_analysis: 38 GB
-    # combined vs 19+5 GB for the stages at C48)
-    a1, a2, a3, a4 = jax.lax.optimization_barrier((a1, a2, a3, a4))
+    # the materialization fence lives on the concatenated channels inside
+    # lagrangian_contributions_stacked (see comment there)
     return lagrangian_contributions_stacked(pe1, pe2, a1, a2, a3, a4, dp1)

@@ -26,13 +26,19 @@ import numpy as np
 from jax import lax
 
 # Halo/corner lowering mode (PACE_HALO):
-#   "gather"   — whole-array gathers (default; best single-chip fusion)
-#   "ppermute" — CopyOp decomposition (multi-chip / SPMD-friendly)
+#   "ppermute" — CopyOp decomposition (default: SPMD-friendly AND faster
+#                single-chip — 105.4 vs 107.5 ms/step C48 f32 on the TPU
+#                (2026-08-19); the 3-index-array gather pays ~2 relayout
+#                copies per halo update on TPU, ~192 gathers/step)
+#   "gather"   — whole-array gathers (previous default)
 #   "packed"   — legacy strip gathers + DUS (PACE_PACKED_HALO=1 alias)
 # Read dynamically (module attribute) so tests can flip it at runtime.
+# Golden digests hold under both lowerings (copies are exact; the f64
+# 1e-9-of-scale pin passes with either mode).
 HALO_MODE = os.environ.get(
     "PACE_HALO",
-    "packed" if os.environ.get("PACE_PACKED_HALO", "0") == "1" else "gather",
+    "packed" if os.environ.get("PACE_PACKED_HALO", "0") == "1"
+    else "ppermute",
 )
 if HALO_MODE in ("structured", "strips"):
     HALO_MODE = "ppermute"
