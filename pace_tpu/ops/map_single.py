@@ -65,6 +65,22 @@ def lagrangian_contributions_stacked(pe1, pe2, q4_1, q4_2, q4_3, q4_4,
                                      dp1):
     """lagrangian_contributions for a STACK of fields sharing one
     (pe1, pe2) pair: q4_* are (T, ..., nz); pe1/pe2/dp1 unbatched.
+    Single-space wrapper around lagrangian_contributions_spaces."""
+    return lagrangian_contributions_spaces(
+        [(pe1, pe2, q4_1, q4_2, q4_3, q4_4, dp1)]
+    )[0]
+
+
+def lagrangian_contributions_spaces(space_groups):
+    """Shared-indicator remap contraction for several COORDINATE SPACES.
+
+    space_groups: list of (pe1_s, pe2_s, a1_s, a2_s, a3_s, a4_s, dp1_s)
+    where the (pe1_s, pe2_s) pairs are monotone transforms of each other
+    (e.g. linear pressure and log pressure): the searchsorted indicator
+    j[k] = #{m: pe1[m] <= pe2[k]} is then identical in every space, so
+    ONE one-hot MXU contraction serves them all.  Coefficient stacks
+    a*_s are (T_s, ..., nz).  Returns a list of (T_s, ..., nz_dst)
+    remapped stacks, one per space.
 
     All T fields' gathers ride ONE one-hot MXU contraction, so the
     (..., nz+1, nz) indicator is built and read once -- under vmap the
@@ -82,13 +98,14 @@ def lagrangian_contributions_stacked(pe1, pe2, q4_1, q4_2, q4_3, q4_4,
     Sterbenz and the lo part restores the cancelled bits -- f32 accuracy
     matches the overlap-scan form to ~1e-7 relative.
     """
-    nz = q4_1.shape[-1]
-    T = q4_1.shape[0]
+    pe1_0, pe2_0 = space_groups[0][0], space_groups[0][1]
+    nz = space_groups[0][2].shape[-1]
+    dt = space_groups[0][2].dtype
     # source layer index containing each target interface:
     # j[k] = #{m in 1..nz-1 : pe1[m] <= pe2[k]} in [0, nz-1]
-    interior = pe1[..., 1:-1]
+    interior = pe1_0[..., 1:-1]
     j = jnp.sum(
-        (interior[..., None, :] <= pe2[..., :, None]).astype(jnp.int32),
+        (interior[..., None, :] <= pe2_0[..., :, None]).astype(jnp.int32),
         axis=-1,
     )
 
@@ -98,28 +115,29 @@ def lagrangian_contributions_stacked(pe1, pe2, q4_1, q4_2, q4_3, q4_4,
     # pass and is EXACT at HIGHEST precision: each output has exactly one
     # nonzero 0/1 weight, and the f32 operand splitting makes the lone
     # product round once.
-    dt = q4_1.dtype
     ind = (
         j[..., :, None]
         == jax.lax.broadcasted_iota(jnp.int32, j.shape + (nz,), j.ndim)
     ).astype(dt)
 
-    # whole-layer integrals of the reconstruction (its own analytic
-    # integral, not q4_1*dp1 -- exact even where the PPM constraints leave
-    # q4_* inconsistent with the cell mean) and compensated exclusive prefix
-    integ = dp1 * (
-        q4_2 + 0.5 * (q4_3 - q4_2 + q4_4) - q4_4 / 3.0
-    )
-    z = jnp.zeros_like(integ[..., :1])
-    c_hi = jnp.concatenate([z, jnp.cumsum(integ, -1)], -1)
-    err = (c_hi[..., 1:] - c_hi[..., :-1]) - integ
-    c_lo = -jnp.concatenate([z, jnp.cumsum(err, -1)], -1)
-
-    shared = jnp.stack([pe1[..., :-1], dp1], 0)
-    chans = jnp.concatenate([
-        jnp.broadcast_to(shared, shared.shape[:1] + q4_2.shape[1:]),
-        q4_2, q4_3 - q4_2, q4_4, c_hi[..., :-1], c_lo[..., :-1],
-    ], axis=0)
+    pieces = []
+    for pe1, pe2, q4_1, q4_2, q4_3, q4_4, dp1 in space_groups:
+        # whole-layer integrals of the reconstruction (its own analytic
+        # integral, not a1*dp1 -- exact even where the PPM constraints
+        # leave a* inconsistent with the cell mean) + compensated prefix
+        integ = dp1 * (
+            q4_2 + 0.5 * (q4_3 - q4_2 + q4_4) - q4_4 / 3.0
+        )
+        z = jnp.zeros_like(integ[..., :1])
+        c_hi = jnp.concatenate([z, jnp.cumsum(integ, -1)], -1)
+        err = (c_hi[..., 1:] - c_hi[..., :-1]) - integ
+        c_lo = -jnp.concatenate([z, jnp.cumsum(err, -1)], -1)
+        shared = jnp.stack([pe1[..., :-1], dp1], 0)
+        pieces.append(jnp.concatenate([
+            jnp.broadcast_to(shared, shared.shape[:1] + q4_2.shape[1:]),
+            q4_2, q4_3 - q4_2, q4_4, c_hi[..., :-1], c_lo[..., :-1],
+        ], axis=0))
+    chans = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
     # materialization fence ON THE CONCATENATED CHANNELS: without it the
     # TPU layout assignment relayout-copies every channel piece into the
     # dot operand layout separately (measured: 9 full-stack {4,0,3,2,1}
@@ -133,20 +151,28 @@ def lagrangian_contributions_stacked(pe1, pe2, q4_1, q4_2, q4_3, q4_4,
         "...km,c...m->c...k", ind, chans,
         precision=jax.lax.Precision.HIGHEST,
     )
-    p_l, dpl = out[0], out[1]
-    c2 = out[2:2 + T]
-    delta = out[2 + T:2 + 2 * T]
-    c4 = out[2 + 2 * T:2 + 3 * T]
-    f_hi = out[2 + 3 * T:2 + 4 * T]
-    f_lo0 = out[2 + 4 * T:2 + 5 * T]
+    results = []
+    off = 0
+    for pe1, pe2, q4_1, q4_2, q4_3, q4_4, dp1 in space_groups:
+        T = q4_1.shape[0]
+        p_l, dpl = out[off], out[off + 1]
+        c2 = out[off + 2:off + 2 + T]
+        delta = out[off + 2 + T:off + 2 + 2 * T]
+        c4 = out[off + 2 + 2 * T:off + 2 + 3 * T]
+        f_hi = out[off + 2 + 3 * T:off + 2 + 4 * T]
+        f_lo0 = out[off + 2 + 4 * T:off + 2 + 5 * T]
+        off += 2 + 5 * T
 
-    # partial integral inside layer j up to the target interface
-    s = jnp.clip((pe2 - p_l) / dpl, 0.0, 1.0)
-    partial = dpl * s * (c2 + 0.5 * (delta + c4) * s - c4 * (s * s) / 3.0)
-
-    f_lo = f_lo0 + partial
-    num = (f_hi[..., 1:] - f_hi[..., :-1]) + (f_lo[..., 1:] - f_lo[..., :-1])
-    return num / (pe2[..., 1:] - pe2[..., :-1])
+        # partial integral inside layer j up to the target interface
+        s = jnp.clip((pe2 - p_l) / dpl, 0.0, 1.0)
+        partial = dpl * s * (
+            c2 + 0.5 * (delta + c4) * s - c4 * (s * s) / 3.0
+        )
+        f_lo = f_lo0 + partial
+        num = (f_hi[..., 1:] - f_hi[..., :-1]) + \
+            (f_lo[..., 1:] - f_lo[..., :-1])
+        results.append(num / (pe2[..., 1:] - pe2[..., :-1]))
+    return results
 
 
 def map_single(q1, pe1, pe2, n, h, kord, mode, qs=None, qmin: float = 0.0):
@@ -177,6 +203,58 @@ def map_single_multi(items, pe1, pe2, n, h):
     return [out[i] for i in range(len(items))]
 
 
+def map_single_spaces(space_groups, n, h):
+    """Remap groups of fields across several ORDER-EQUIVALENT coordinate
+    spaces through one shared indicator + MXU contraction.
+
+    space_groups: list of (pe1, pe2, groups) where every (pe1, pe2) pair
+    is a monotone transform of the others (e.g. pressure and
+    log-pressure: the reference remaps pt in log-p, remapping.py:71, but
+    the source-layer indicator is order-based so it is identical in both
+    spaces).  groups is a list of (q_stack_or_field, kord, mode, qs,
+    qmin) as in map_single_groups.
+
+    Returns a list of per-space result lists matching the input ranks."""
+    contraction_inputs = []
+    meta = []
+    for pe1, pe2, groups in space_groups:
+        base_ndim = pe1.ndim  # unstacked field rank
+        dp1 = pe1[..., 1:] - pe1[..., :-1]
+        coeffs = []
+        sizes = []
+        stacked_in = []
+        for q, kord, mode, qs, qmin in groups:
+            if q.ndim == base_ndim:
+                q = q[None]
+                stacked_in.append(False)
+            else:
+                stacked_in.append(True)
+            sizes.append(q.shape[0])
+            if qs is None:
+                qs_g = jnp.zeros(q.shape[1:-1], q.dtype)
+            else:
+                qs_g = qs
+            a = jax.vmap(
+                lambda t: remap_profile(qs_g, t, dp1, n, h, kord, mode,
+                                        qmin)
+            )(q)
+            coeffs.append(a)
+        stacked = [jnp.concatenate(parts, 0) for parts in zip(*coeffs)]
+        contraction_inputs.append((pe1, pe2, *stacked, dp1))
+        meta.append((sizes, stacked_in))
+    outs = lagrangian_contributions_spaces(contraction_inputs)
+    all_results = []
+    for out, (sizes, stacked_in) in zip(outs, meta):
+        results = []
+        start = 0
+        for size, was_stacked in zip(sizes, stacked_in):
+            r = out[start:start + size]
+            results.append(r if was_stacked else r[0])
+            start += size
+        all_results.append(results)
+    return all_results
+
+
 def map_single_groups(groups, pe1, pe2, n, h):
     """Remap several GROUPS of fields sharing one (pe1, pe2) pair: each
     group is (q_stack(T_i, ..., nz) or q(..., nz), kord, mode, qs, qmin).
@@ -186,36 +264,7 @@ def map_single_groups(groups, pe1, pe2, n, h):
     contraction, so the tracer stack and w/delz ride a single pass.
 
     Returns a list of remapped stacks/fields matching the input ranks."""
-    base_ndim = pe1.ndim  # unstacked field rank
-    coeffs = []
-    sizes = []
-    stacked_in = []
-    for q, kord, mode, qs, qmin in groups:
-        if q.ndim == base_ndim:
-            q = q[None]
-            stacked_in.append(False)
-        else:
-            stacked_in.append(True)
-        sizes.append(q.shape[0])
-        dp1 = pe1[..., 1:] - pe1[..., :-1]
-        if qs is None:
-            qs_g = jnp.zeros(q.shape[1:-1], q.dtype)
-        else:
-            qs_g = qs
-        a = jax.vmap(
-            lambda t: remap_profile(qs_g, t, dp1, n, h, kord, mode, qmin)
-        )(q)
-        coeffs.append(a)
-    stacked = [jnp.concatenate(parts, 0) for parts in zip(*coeffs)]
-    dp1 = pe1[..., 1:] - pe1[..., :-1]
-    out = lagrangian_contributions_stacked(pe1, pe2, *stacked, dp1)
-    results = []
-    start = 0
-    for size, was_stacked in zip(sizes, stacked_in):
-        r = out[start:start + size]
-        results.append(r if was_stacked else r[0])
-        start += size
-    return results
+    return map_single_spaces([(pe1, pe2, groups)], n, h)[0]
 
 
 def map_single_stacked(q_stack, pe1, pe2, n, h, kord, mode,

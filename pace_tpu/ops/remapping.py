@@ -12,7 +12,7 @@ import numpy as np
 
 from pace_tpu.ops import fillz as fillz_mod
 from pace_tpu.ops import moist_cv
-from pace_tpu.ops.map_single import map_single, map_single_groups
+from pace_tpu.ops.map_single import map_single, map_single_spaces
 from pace_tpu.ops.stencil_utils import shift
 from pace_tpu.utils import constants
 
@@ -65,19 +65,24 @@ def lagrangian_to_eulerian(
     pk_layers = jnp.exp(akap * pn2[..., :-1])
     pk = jnp.concatenate([pk_layers, pk[..., -1:]], -1)
 
-    # remap pt in log-pressure coordinates
-    pt = map_single(pt, peln, pn2, n, h, kord_tm, 1, qmin=T_MIN)
-
-    # tracers (negative-value filling applied after), w and delz all
-    # share (pe1, pe2): ONE searchsorted indicator + MXU contraction for
-    # all 11 fields (all tracer kords are equal for supported configs:
-    # reference mapn_tracer.py sets kord_tracer[5]=9 and kord_tr=9)
+    # tracers (negative-value filling applied after), w, delz AND pt all
+    # ride ONE searchsorted indicator + MXU contraction: pt remaps in
+    # log-pressure (reference remapping.py map_scalar), but log is
+    # monotone so its source-layer indicator is identical to the linear
+    # one — it joins as a second coordinate space with its own
+    # pressure channels.  (All tracer kords are equal for supported
+    # configs: reference mapn_tracer.py sets kord_tracer[5]=9.)
     stacked = jnp.stack([tracers[name] for name in REMAP_TRACERS])
-    stacked, w, delz = map_single_groups(
-        [(stacked, kord_tr, 0, None, 0.0),
-         (w, config.kord_wz, -2, wsd, 0.0),
-         (delz, config.kord_wz, 1, None, 0.0)],
-        pe1, pe2, n, h,
+    (stacked, w, delz), (pt,) = map_single_spaces(
+        [
+            (pe1, pe2, [
+                (stacked, kord_tr, 0, None, 0.0),
+                (w, config.kord_wz, -2, wsd, 0.0),
+                (delz, config.kord_wz, 1, None, 0.0),
+            ]),
+            (peln, pn2, [(pt, kord_tm, 1, None, T_MIN)]),
+        ],
+        n, h,
     )
     if config.fill:
         stacked = jax.vmap(lambda q: fillz_mod.fix_tracer(q, dp2))(stacked)
