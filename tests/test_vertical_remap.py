@@ -73,3 +73,41 @@ def test_identity_when_grids_match():
             for x in (pe1, pe1, a1, a2, a3, a4, dp1)]
     out = np.asarray(jax.jit(lagrangian_contributions)(*args))
     np.testing.assert_allclose(out, a1, rtol=1e-11)
+
+
+def test_multi_space_contraction_matches_single():
+    """map_single_spaces with a log-pressure second space must equal the
+    per-space map_single calls to f64 rounding (the indicator is
+    order-identical under the monotone transform and the gathers are
+    one-hot-exact; vmap changes the fusion of the limiter cascade, so
+    individual elements can reassociate at the ~1e-11-relative level)."""
+    from pace_tpu.ops.map_single import map_single, map_single_spaces
+
+    rng = np.random.default_rng(11)
+    shape, nz, n, h = (6, 14, 14), 79, 8, 3
+    pe1, pe2 = _column_set(rng, shape, nz, jitter=0.25)
+    q_a = 300.0 * (1 + 0.2 * rng.standard_normal(shape + (nz,)))
+    q_b = np.abs(rng.standard_normal(shape + (nz,)))
+    q_pt = 250.0 * (1 + 0.1 * rng.standard_normal(shape + (nz,)))
+
+    pe1j = jnp.asarray(pe1, jnp.float64)
+    pe2j = jnp.asarray(pe2, jnp.float64)
+    ln1, ln2 = jnp.log(pe1j), jnp.log(pe2j)
+    qa, qb, qpt = (jnp.asarray(x, jnp.float64) for x in (q_a, q_b, q_pt))
+
+    (got_ab,), (got_pt,) = jax.jit(
+        lambda a, b, p: map_single_spaces(
+            [
+                (pe1j, pe2j, [(jnp.stack([a, b]), 8, 0, None, 0.0)]),
+                (ln1, ln2, [(p, 8, 1, None, 184.0)]),
+            ], n, h,
+        )
+    )(qa, qb, qpt)
+
+    want_a = np.asarray(map_single(qa, pe1j, pe2j, n, h, 8, 0))
+    want_b = np.asarray(map_single(qb, pe1j, pe2j, n, h, 8, 0))
+    want_pt = np.asarray(map_single(qpt, ln1, ln2, n, h, 8, 1, qmin=184.0))
+
+    np.testing.assert_allclose(np.asarray(got_ab[0]), want_a, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(got_ab[1]), want_b, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(got_pt), want_pt, rtol=1e-10)
