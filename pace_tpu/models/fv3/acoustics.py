@@ -74,7 +74,8 @@ def acoustic_dynamics(
     corner = topo.scalar_spec("corner")
 
     def hupd(*fields):
-        return [halo_mod.halo_update_scalar(f, center) for f in fields]
+        # grouped: one CopyOp program for the whole field group
+        return halo_mod.halo_update_scalars(topo, list(fields), "center")
 
     zs = s["phis"] * constants.RGRAV
 
@@ -82,9 +83,10 @@ def acoustic_dynamics(
     dp_ref_col = vp["dp_ref"]
     pfull_col = vp["pfull"]
 
-    # start-of-call halo updates (dyn_core.py:686-689)
-    s["q_con"], cappa = hupd(s["q_con"], cappa)
-    s["delp"], s["pt"] = hupd(s["delp"], s["pt"])
+    # start-of-call halo updates (dyn_core.py:686-689), one grouped update
+    s["q_con"], cappa, s["delp"], s["pt"] = hupd(
+        s["q_con"], cappa, s["delp"], s["pt"]
+    )
     s["u"], s["v"] = halo_mod.halo_update_vector(
         topo, s["u"], s["v"], "y_iface", "x_iface"
     )
@@ -111,14 +113,15 @@ def acoustic_dynamics(
     for it in range(n_split):
         remap_step = config.breed_vortex_inline or (it == n_split - 1)
         if not config.hydrostatic:
-            s["w"] = hupd(s["w"])[0]
             if it == 0:
                 # gz from surface height and thicknesses (meters)
                 below = jnp.cumsum(s["delz"][..., ::-1], -1)[..., ::-1]
                 gz = jnp.concatenate(
                     [zs[..., None] - below, zs[..., None]], -1
                 )
-                gz = hupd(gz)[0]
+                s["w"], gz = hupd(s["w"], gz)
+            else:
+                s["w"] = hupd(s["w"])[0]
 
         if it == n_split - 1 and end_step and config.use_old_omega:
             pem = jnp.concatenate(
@@ -205,9 +208,8 @@ def acoustic_dynamics(
             if remap_step:
                 s["pe"] = nhpg.pe_halo(s["pe"], s["delp"], ptop, n, h)
             pk3 = nhpg.pk3_halo(pk3, s["delp"], ptop, akap, n, h)
-            zh = hupd(zh)[0]
+            zh, pkc = hupd(zh, pkc)
             gz = zh * constants.GRAV
-            pkc = hupd(pkc)[0]
 
             s["u"], s["v"], pkc, gz, pk3 = nhpg.nh_p_grad(
                 s["u"], s["v"], pkc, gz, pk3, s["delp"], gd, n, h,

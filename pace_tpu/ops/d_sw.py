@@ -154,9 +154,14 @@ def d_sw(
         # here in XLA, where it fuses into the flux_increment consumers.
         from pace_tpu.ops import corners as corner_ops
 
+        # the corner copies only touch the (tile, i, j) axes, so all five
+        # fields ride ONE copy program via z-concatenation (bit-exact;
+        # amortizes the per-wedge kernel overhead 5x)
         qs5 = [delp, w, q_con, pt, abs_vorticity]
-        qy5 = [corner_ops.copy_corners(q, n, h, "y") for q in qs5]
-        qx5 = [corner_ops.copy_corners(q, n, h, "x") for q in qy5]
+        cat_y = corner_ops.copy_corners(jnp.concatenate(qs5, -1), n, h, "y")
+        cat_x = corner_ops.copy_corners(cat_y, n, h, "x")
+        qy5 = jnp.split(cat_y, 5, -1)
+        qx5 = jnp.split(cat_x, 5, -1)
         mean_x, mean_y = fvtp2d_pallas.transport_batched_means(
             jnp.stack(qy5), jnp.stack(qx5), crx, cry, xfx, yfx,
             hz.dxa, hz.dya, hz.area, n, h, config.hord_dp,

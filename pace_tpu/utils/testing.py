@@ -37,8 +37,17 @@ def success_array(
     ignore_near_zero_errors: bool,
     near_zero: float,
 ):
+    # bit-identical values always pass: the relative metric yields NaN for
+    # identical +/-inf pairs (inf - inf), which self-generated savepoints
+    # can legitimately contain (log of zero-filled halo pressures); the
+    # reference never hits this because serialized Fortran data is finite
+    with np.errstate(invalid="ignore"):
+        exact_equal = computed_data == ref_data
     success = np.logical_or(
-        np.logical_and(np.isnan(computed_data), np.isnan(ref_data)),
+        np.logical_or(
+            exact_equal,
+            np.logical_and(np.isnan(computed_data), np.isnan(ref_data)),
+        ),
         compare_arr(computed_data, ref_data) < eps,
     )
     if ignore_near_zero_errors:

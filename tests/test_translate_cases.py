@@ -167,12 +167,27 @@ def _build_inputs(name, sizing, gd, state0, state1):
 
 
 def _roundtrip(case, inputs, data_dir):
-    """compute -> decompose in/out per rank -> write -> read ->
-    validate."""
-    outputs = case.compute(inputs)
-    in_per_rank, out_per_rank = [], []
+    """decompose inputs -> compute from their assembled form ->
+    decompose outputs -> write -> read -> validate.
+
+    Two properties make the round trip exact by construction:
+    - inputs are sanitized to finite values: halo cells of a live model
+      state legitimately hold non-finite scratch (never read by the
+      model), but serialized reference data is always finite, and the
+      comparison metric (reference comparison.py:6) yields NaN for
+      identical +/-inf pairs;
+    - compute runs on the ASSEMBLED form of the decomposed blocks (the
+      exact arrays validate() will reconstruct), so global halo cells
+      the rank blocks don't cover (zero-filled on assembly) can't make
+      the recompute diverge from the stored outputs."""
+    inputs = {
+        k: (np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+            if np.ndim(v) else v)
+        for k, v in inputs.items()
+    }
+    in_per_rank = []
     for rank in range(case.n_ranks):
-        rin, rout = {}, {}
+        rin = {}
         for name, spec in case.in_vars.items():
             sname = spec.serialname or name
             if name not in inputs:
@@ -185,12 +200,16 @@ def _roundtrip(case, inputs, data_dir):
                 rin[sname] = case.decompose(
                     name, v, rank, staggered=case.stagger.get(name,
                                                               (0, 0)))
+        in_per_rank.append(rin)
+    outputs = case.compute(case.assemble(in_per_rank))
+    out_per_rank = []
+    for rank in range(case.n_ranks):
+        rout = {}
         for name, spec in case.out_vars.items():
             sname = spec.serialname or name
             rout[sname] = case.decompose(
                 name, outputs[name], rank, spec_map=case.out_vars,
                 staggered=case.stagger.get(name, (0, 0)))
-        in_per_rank.append(rin)
         out_per_rank.append(rout)
     write_savepoint(data_dir, case.savepoint_name, in_per_rank,
                     out_per_rank)
@@ -242,8 +261,11 @@ def test_54_rank_layout_assembly(c12_f64_run, tmp_path):
     per_rank = [ds.inputs(r) for r in range(54)]
     assembled = case.assemble(per_rank)
     nb = sizing.n + 2 * H
+    # _roundtrip sanitizes non-finite halo scratch before decomposing
+    q_expect = np.nan_to_num(
+        np.asarray(inputs["q"]), nan=0.0, posinf=0.0, neginf=0.0)
     np.testing.assert_array_equal(
-        assembled["q"][:, :nb, :nb], np.asarray(inputs["q"])[:, :nb, :nb]
+        assembled["q"][:, :nb, :nb], q_expect[:, :nb, :nb]
     )
 
 
