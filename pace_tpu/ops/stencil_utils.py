@@ -27,26 +27,37 @@ def shift(q: jnp.ndarray, di: int = 0, dj: int = 0, dk: int = 0) -> jnp.ndarray:
     return out
 
 
+# Fixed shift halo: every _shift_axis pads by the SAME (_H, _H) config so
+# all shifts of one array along one axis share ONE pad instruction under
+# HLO CSE.  The per-call slice+pad form created a distinct pad per (d,
+# axis) which the TPU fusion pass materialized separately -- the single
+# largest top-level HBM byte line in the C12 census (1.16 GB of 50.6 GB,
+# scripts/hlo_copies.py).  Shared-pad + fused-slice keeps at most one
+# materialization per (array, axis) chain.  Must cover the largest |d|
+# used anywhere (currently 4: a2b_ord4 extrapolation rows).
+_H = 4
+
+
 def _shift_axis(q, d, axis):
     """Shifted view padded with ZEROS at the array bounds.
 
-    slice+lax.pad fuses into consumers on TPU where the previous
-    slice+concat form materialized (27% faster on a c_sw-like chain).
-    The pad value is only ever visible in the outermost storage rows,
-    which no stencil output region consumes (see module docstring); it
-    is 0 rather than edge-replicated, so those never-consumed cells may
-    hold 0/0 NaNs -- by design they already hold arbitrary values."""
+    out[i] = q[i+d] in bounds, 0 outside.  Implemented as a fixed
+    (_H, _H) zero-pad of the whole axis followed by a static slice:
+    identical pad configs CSE into one shared instruction, and slices
+    fuse into consumer loops on TPU.  The pad value is only ever visible
+    in the outermost storage rows, which no stencil output region
+    consumes (see module docstring); it is 0 rather than edge-replicated,
+    so those never-consumed cells may hold 0/0 NaNs -- by design they
+    already hold arbitrary values."""
     from jax import lax
 
+    assert abs(d) <= _H, f"shift offset {d} exceeds fixed halo {_H}"
     cfg = [(0, 0, 0)] * q.ndim
+    cfg[axis] = (_H, _H, 0)
+    padded = lax.pad(q, jnp.zeros((), q.dtype), cfg)
     idx = [slice(None)] * q.ndim
-    if d > 0:
-        idx[axis] = slice(d, None)
-        cfg[axis] = (0, d, 0)
-    else:
-        idx[axis] = slice(None, d)
-        cfg[axis] = (-d, 0, 0)
-    return lax.pad(q[tuple(idx)], jnp.zeros((), q.dtype), cfg)
+    idx[axis] = slice(_H + d, _H + d + q.shape[axis])
+    return padded[tuple(idx)]
 
 
 def _axis_mask(dest: jnp.ndarray, axis: int, idxs) -> jnp.ndarray:
