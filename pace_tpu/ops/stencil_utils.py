@@ -3,7 +3,7 @@
 The reference compiles each stencil over an origin/domain window
 (ai2cm/pace dsl/pace/dsl/stencil.py FrozenStencil); here stencils are plain
 functions over full (6, N, N[, nz]) arrays.  `shift(q, di, dj)` gives the
-whole-array shifted view (edge-replicated at the array boundary, which is
+whole-array shifted view (zero-filled at the array boundary, which is
 always outside any region a stencil writes), and `set_region` writes an
 expression into a static (i, j) window, leaving the rest unchanged — XLA
 dead-code-eliminates the unused lanes of the expression.
@@ -15,8 +15,9 @@ import jax.numpy as jnp
 
 
 def shift(q: jnp.ndarray, di: int = 0, dj: int = 0, dk: int = 0) -> jnp.ndarray:
-    """out[..., i, j, k] = q[..., i+di, j+dj, k+dk] with edge replication at
-    array bounds (axes 1, 2 are i, j; axis 3 if present is k)."""
+    """out[..., i, j, k] = q[..., i+di, j+dj, k+dk], zero-filled at array
+    bounds (axes 1, 2 are i, j; axis 3 if present is k).  Out-of-bounds
+    cells are never consumed by any stencil output region."""
     out = q
     if di:
         out = _shift_axis(out, di, 1)
@@ -51,7 +52,8 @@ def _shift_axis(q, d, axis):
     already hold arbitrary values."""
     from jax import lax
 
-    assert abs(d) <= _H, f"shift offset {d} exceeds fixed halo {_H}"
+    if abs(d) > _H:
+        raise ValueError(f"shift offset {d} exceeds fixed halo {_H}")
     cfg = [(0, 0, 0)] * q.ndim
     cfg[axis] = (_H, _H, 0)
     padded = lax.pad(q, jnp.zeros((), q.dtype), cfg)
