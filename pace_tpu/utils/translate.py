@@ -171,6 +171,17 @@ class VarSpec:
     # optional=True: skip silently when the savepoint does not serialize
     # this variable (framework-internal storages, e.g. d_sw's ut/vt)
     optional: bool = False
+    # GFS physics block layouts (reference translate_physics.py):
+    # phys_order = "C"/"F" marks an IPD block serialized as
+    # (cn*cn, nz[, ntracer]) with k stored surface-up — reshaped to
+    # (cn, cn, nz[, t]) in the given index order and k-reversed on read
+    # (transform_physics_serialized_data).  roll_zero applies the
+    # reference's in/out_roll_zero k-shift.  microph marks the
+    # microphysics block family ((cn*cn, 1, nz) 3D / (cn*cn, 1) 2D,
+    # no k reversal — transform_microphysics_serialized_data).
+    phys_order: Optional[str] = None
+    roll_zero: bool = False
+    microph: bool = False
 
 
 def rank_to_tile_subtile(rank: int, layout: Tuple[int, int]):
@@ -239,6 +250,53 @@ class TranslateCase:
             return np.swapaxes(block, 1, 2)  # (i, j, k) -> (i, k, j)
         return block
 
+    # -- GFS physics block layouts (reference translate_physics.py) -------
+    @staticmethod
+    def _phys_read(block: np.ndarray, spec: VarSpec) -> np.ndarray:
+        """Serialized IPD/microphysics block -> (cn, cn[, k[, t]])
+        top-down (the transform_*_serialized_data read path)."""
+        b = np.asarray(block)
+        cn = int(round(np.sqrt(b.shape[0])))
+        if spec.microph:
+            if b.ndim == 3:      # (cn*cn, 1, nz)
+                return b[:, 0, :].reshape(cn, cn, b.shape[-1])
+            if b.ndim == 2:      # (cn*cn, 1)
+                return b.reshape(cn, cn)
+            return b
+        order = spec.phys_order
+        if b.ndim == 2:          # (cn*cn, nz)
+            arr = b.reshape(cn, cn, b.shape[1], order=order)[:, :, ::-1]
+        elif b.ndim == 3:        # (cn*cn, nz, ntracer)
+            arr = b.reshape(cn, cn, b.shape[1], b.shape[2],
+                            order=order)[:, :, ::-1, :]
+        else:
+            raise NotImplementedError(f"phys block ndim {b.ndim}")
+        if spec.roll_zero:
+            arr = np.roll(arr, -1, axis=2)
+        return arr
+
+    @staticmethod
+    def _phys_write(arr: np.ndarray, spec: VarSpec) -> np.ndarray:
+        """(cn, cn[, k[, t]]) top-down -> serialized block (inverse of
+        _phys_read)."""
+        a = np.asarray(arr)
+        cn = a.shape[0]
+        if spec.microph:
+            if a.ndim == 3:
+                return a.reshape(cn * cn, a.shape[-1])[:, None, :]
+            if a.ndim == 2:
+                return a.reshape(cn * cn, 1)
+            return a
+        if spec.roll_zero:
+            a = np.roll(a, 1, axis=2)
+        order = spec.phys_order
+        if a.ndim == 3:
+            return a[:, :, ::-1].reshape(cn * cn, a.shape[2], order=order)
+        if a.ndim == 4:
+            return a[:, :, ::-1, :].reshape(
+                cn * cn, a.shape[2], a.shape[3], order=order)
+        raise NotImplementedError(f"phys array ndim {a.ndim}")
+
     def assemble(self, per_rank: List[Dict[str, np.ndarray]]):
         """Per-rank Fortran blocks -> global (6, N, N[, nz]) arrays.
 
@@ -264,6 +322,19 @@ class TranslateCase:
                 continue
             if spec.column:
                 out[name] = np.asarray(blocks[0], self.dtype)
+                continue
+            if spec.phys_order or spec.microph:
+                h = self.sizing.halo
+                b0r = self._phys_read(b0, spec)
+                shape = self._storage_shape() + tuple(b0r.shape[2:])
+                arr = np.zeros(shape, self.dtype)
+                for rank, b in enumerate(blocks):
+                    br = self._phys_read(np.asarray(b), spec)
+                    tile, i0, j0 = self._block_origin(rank)
+                    arr[tile,
+                        h + i0:h + i0 + br.shape[0],
+                        h + j0:h + j0 + br.shape[1]] = br
+                out[name] = arr
                 continue
             b0 = self._from_fortran(b0, spec)
             if spec.no_j:
@@ -294,6 +365,16 @@ class TranslateCase:
         g = np.asarray(global_arr)
         if spec.column:
             return g
+        if spec.phys_order or spec.microph:
+            h = self.sizing.halo
+            cn = int(round(np.sqrt(np.asarray(ref_block).shape[0])))
+            block = g[tile, h + i0:h + i0 + cn, h + j0:h + j0 + cn]
+            # trim k to the reference block's level count (kend variants)
+            ref_r = self._phys_read(np.asarray(ref_block), spec)
+            if block.ndim >= 3 and ref_r.ndim >= 3 \
+                    and block.shape[2] != ref_r.shape[2]:
+                block = block[:, :, :ref_r.shape[2]]
+            return self._phys_write(block, spec)
         if spec.no_j:
             block = g[tile, i0 + spec.istart:i0 + spec.istart
                       + ref_block.shape[0]]
@@ -372,6 +453,11 @@ class TranslateCase:
         g = np.asarray(global_arr)
         if spec.column:
             return g
+        if spec.phys_order or spec.microph:
+            block = g[tile,
+                      h + i0:h + i0 + nsub_x,
+                      h + j0:h + j0 + nsub_y]
+            return self._phys_write(block, spec)
         # block extents: halo-inclusive blocks (istart=0) span
         # nsub + 2h (+stagger); compute-only blocks (istart=h) span
         # nsub (+stagger)

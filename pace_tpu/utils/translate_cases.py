@@ -445,7 +445,7 @@ class TranslateNHPGrad(BaseOpCase):
 
         from pace_tpu.ops.nh_p_grad import nh_p_grad
 
-        u, v = nh_p_grad(
+        u, v, *_ = nh_p_grad(
             jnp.asarray(inputs["u"]), jnp.asarray(inputs["v"]),
             jnp.asarray(inputs["pp"]), jnp.asarray(inputs["gz"]),
             jnp.asarray(inputs["pk3"]), jnp.asarray(inputs["delp"]),
@@ -668,3 +668,1218 @@ class TranslateFVDynamics(BaseOpCase):
         out = jax.jit(core.step_dynamics)(state)
         return {name: np.asarray(getattr(out, name))
                 for name in self.out_vars}
+
+
+# ---------------------------------------------------------------------------
+# helpers shared by case-local input builders (self-validation inputs; when
+# real Serialbox data lands these are unused — the -In.nc files supply data)
+# ---------------------------------------------------------------------------
+
+
+def smooth_field(shape, seed, scale=1.0):
+    """Horizontally smoothed random field (PPM limiters need sane data)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randn(*shape)
+    for ax in (1, 2):
+        if a.shape[ax] >= 3:
+            a = (np.roll(a, 1, ax) + a + np.roll(a, -1, ax)) / 3.0
+    return scale * a
+
+
+def gz_from_delz(phis, delz):
+    """Interface heights consistent with layer thicknesses."""
+    zs = phis / 9.80665
+    below = np.cumsum(delz[..., ::-1], -1)[..., ::-1]
+    return np.concatenate([zs[..., None] - below, zs[..., None]], -1)
+
+
+def _col(sizing, value_top, value_rest):
+    """Per-k column with a distinct sponge-top value (nord_col shape)."""
+    c = np.full(sizing.nz, float(value_rest))
+    c[:3] = value_top
+    return c
+
+
+class _TracersMixin:
+    TRACERS = ("qvapor", "qliquid", "qice", "qrain", "qsnow", "qgraupel",
+               "qcld")
+
+
+# ---------------------------------------------------------------------------
+# round-4 registry completion: the remaining reference dycore classes
+# (/root/reference/fv3core/tests/savepoint/translate/ — VERDICT r3 next #2)
+# ---------------------------------------------------------------------------
+
+
+@register("Del2Cubed")
+class TranslateDel2Cubed(BaseOpCase):
+    """reference translate_del2cubed.py TranslateDel2Cubed: qdel +
+    nmax/cd -> qdel through HyperdiffusionDamping."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "qdel": VarSpec(), "nmax": VarSpec(), "cd": VarSpec(),
+        }
+        self.out_vars = {"qdel": VarSpec()}
+
+    def make_inputs(self, s0, s1, gd):
+        return {"qdel": s1["pt"], "nmax": 3,
+                "cd": 0.2 * float(np.asarray(gd.damping.da_min))}
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.del2cubed import hyperdiffusion
+
+        out = hyperdiffusion(
+            jnp.asarray(inputs["qdel"]), self.gd, float(inputs["cd"]),
+            self.n, self.h, nmax=int(inputs["nmax"]),
+        )
+        return {"qdel": np.asarray(out)}
+
+
+@register("DelnFlux")
+class TranslateDelnFlux(BaseOpCase):
+    """reference translate_delnflux.py TranslateDelnFlux: q/fx/fy +
+    per-k damp_c, nord_column columns and optional mass -> damped
+    fx/fy (DelnFlux adds del-n damping fluxes to the input fluxes)."""
+
+    has_mass = True
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {
+            "q": VarSpec(),
+            "fx": VarSpec(istart=h, jstart=h),
+            "fy": VarSpec(istart=h, jstart=h),
+            "damp_c": VarSpec(column=True),
+            "nord_column": VarSpec(column=True),
+        }
+        if self.has_mass:
+            self.in_vars["mass"] = VarSpec()
+        self.out_vars = {
+            "fx": VarSpec(istart=h, jstart=h),
+            "fy": VarSpec(istart=h, jstart=h),
+        }
+        self.stagger = {"fx": (1, 0), "fy": (0, 1)}
+
+    def make_inputs(self, s0, s1, gd):
+        d = {
+            "q": s1["w"],
+            "fx": smooth_field(s1["pt"].shape, 21, 1e3),
+            "fy": smooth_field(s1["pt"].shape, 22, 1e3),
+            "damp_c": _col(self.sizing, 0.2, 0.2),
+            "nord_column": _col(self.sizing, 0, 2),
+        }
+        if self.has_mass:
+            d["mass"] = s1["delp"]
+        return d
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.delnflux import deln_flux
+
+        mass = inputs.get("mass")
+        fx, fy = deln_flux(
+            jnp.asarray(inputs["q"]), jnp.asarray(inputs["fx"]),
+            jnp.asarray(inputs["fy"]), self.gd,
+            np.asarray(inputs["nord_column"]),
+            np.asarray(inputs["damp_c"]), self.n, self.h,
+            mass=None if mass is None else jnp.asarray(mass),
+        )
+        return {"fx": np.asarray(fx), "fy": np.asarray(fy)}
+
+
+@register("DelnFlux_2")
+class TranslateDelnFlux2(TranslateDelnFlux):
+    """reference translate_delnflux.py TranslateDelnFlux_2: the
+    mass-less variant."""
+
+    has_mass = False
+
+
+@register("Del6VtFlux")
+class TranslateDel6VtFlux(BaseOpCase):
+    """reference translate_del6vtflux.py TranslateDel6VtFlux: wq/wd2/
+    fx2/fy2 + damp4/nord_w columns -> DelnFluxNoSG fluxes and the
+    damped d2 intermediate."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "q": VarSpec(serialname="wq"),
+            "d2": VarSpec(serialname="wd2"),
+            "fx2": VarSpec(),
+            "fy2": VarSpec(),
+            "damp_c": VarSpec(serialname="damp4", column=True),
+            "nord_w": VarSpec(column=True),
+        }
+        self.out_vars = {
+            "fx2": VarSpec(),
+            "fy2": VarSpec(),
+            "d2": VarSpec(serialname="wd2"),
+            "q": VarSpec(serialname="wq"),
+        }
+        self.stagger = {"fx2": (1, 0), "fy2": (0, 1)}
+
+    def make_inputs(self, s0, s1, gd):
+        shape3 = s1["pt"].shape
+        return {
+            "q": s1["w"], "d2": np.zeros(shape3),
+            "fx2": np.zeros(shape3), "fy2": np.zeros(shape3),
+            "damp_c": _col(self.sizing, 0.2, 0.2),
+            "nord_w": _col(self.sizing, 0, 1),
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.delnflux import calc_damp, deln_flux_nosg
+
+        nord_col = np.asarray(inputs["nord_w"])
+        damp_col = calc_damp(
+            np.asarray(inputs["damp_c"]),
+            float(np.asarray(self.gd.damping.da_min)), nord_col)
+        fx2, fy2, d2 = deln_flux_nosg(
+            jnp.asarray(inputs["q"]), self.gd.damping.del6_u,
+            self.gd.damping.del6_v, self.gd.horizontal.rarea,
+            nord_col, np.asarray(damp_col), self.n, self.h,
+        )
+        return {
+            "fx2": np.asarray(fx2), "fy2": np.asarray(fy2),
+            "d2": np.asarray(d2), "q": inputs["q"],
+        }
+
+
+@register("DivergenceDamping")
+class TranslateDivergenceDamping(BaseOpCase):
+    """reference translate_divergencedamping.py: winds + divg_d/delpc/
+    ke/vort/wk + nord_col/d2_bg columns + dt -> ke, delpc.  max_error
+    1.4e-10 matches the reference."""
+
+    max_error = 1.4e-10
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "u": VarSpec(), "v": VarSpec(), "va": VarSpec(),
+            "damped_rel_vort_bgrid": VarSpec(serialname="vort"),
+            "ua": VarSpec(), "divg_d": VarSpec(), "vc": VarSpec(),
+            "uc": VarSpec(), "delpc": VarSpec(), "ke": VarSpec(),
+            "rel_vort_agrid": VarSpec(serialname="wk"),
+            "nord_col": VarSpec(column=True),
+            "d2_bg": VarSpec(column=True),
+            "dt": VarSpec(),
+        }
+        self.out_vars = {"ke": VarSpec(), "delpc": VarSpec()}
+        self.stagger = {
+            "u": (0, 1), "vc": (0, 1), "v": (1, 0), "uc": (1, 0),
+            "divg_d": (1, 1), "ke": (1, 1),
+            "damped_rel_vort_bgrid": (1, 1),
+        }
+
+    def make_inputs(self, s0, s1, gd):
+        shape3 = s1["pt"].shape
+        return {
+            "u": s1["u"], "v": s1["v"], "va": s1["va"], "ua": s1["ua"],
+            "damped_rel_vort_bgrid": np.zeros(shape3),
+            "divg_d": smooth_field(shape3, 23, 1e-5),
+            "vc": s1["vc"], "uc": s1["uc"], "delpc": s1["delp"],
+            "ke": smooth_field(shape3, 24, 1e2),
+            "rel_vort_agrid": smooth_field(shape3, 25, 1e-5),
+            "nord_col": _col(self.sizing, 0, self.config.nord),
+            "d2_bg": _col(self.sizing, 0.015, 0.0),
+            "dt": 112.5,
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.divergence_damping import divergence_damping
+
+        vort, ke, delpc, divg_d = divergence_damping(
+            jnp.asarray(inputs["u"]), jnp.asarray(inputs["v"]),
+            jnp.asarray(inputs["va"]), jnp.asarray(inputs["ua"]),
+            jnp.asarray(inputs["divg_d"]), jnp.asarray(inputs["vc"]),
+            jnp.asarray(inputs["uc"]), jnp.asarray(inputs["ke"]),
+            jnp.asarray(inputs["rel_vort_agrid"]), self.gd,
+            self.n, self.h, float(inputs["dt"]), self.config.dddmp,
+            self.config.d4_bg, self.config.nord,
+            np.asarray(inputs["nord_col"]), np.asarray(inputs["d2_bg"]),
+        )
+        return {"ke": np.asarray(ke), "delpc": np.asarray(delpc)}
+
+
+@register("A2B_Ord4")
+class TranslateA2BOrd4(BaseOpCase):
+    """reference translate_a2b_ord4.py TranslateA2B_Ord4: wk/vort/
+    delpc + nord_col + dt; vort <- a2b_ord4(wk) when dddmp >= 1e-5
+    (A2B_Ord4Compute wraps DivergenceDamping.a2b_ord4)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "wk": VarSpec(), "vort": VarSpec(), "delpc": VarSpec(),
+            "nord_col": VarSpec(column=True), "dt": VarSpec(),
+        }
+        self.out_vars = {"wk": VarSpec(), "vort": VarSpec()}
+        self.stagger = {"vort": (1, 1)}
+
+    def make_inputs(self, s0, s1, gd):
+        shape3 = s1["pt"].shape
+        return {
+            "wk": smooth_field(shape3, 26, 1e-5),
+            "vort": np.zeros(shape3), "delpc": s1["delp"],
+            "nord_col": _col(self.sizing, 0, self.config.nord),
+            "dt": 112.5,
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.a2b_ord4 import a2b_ord4
+
+        if self.config.dddmp < 1e-5:
+            vort = np.zeros_like(np.asarray(inputs["vort"]))
+        else:
+            vort = np.asarray(a2b_ord4(
+                jnp.asarray(inputs["wk"]), self.gd, self.n, self.h))
+        return {"wk": inputs["wk"], "vort": vort}
+
+
+@register("FxAdv")
+class TranslateFxAdv(BaseOpCase):
+    """reference translate_fxadv.py TranslateFxAdv: uc/vc (+ contra
+    storages ut/vt) + dt -> contravariant winds, courant numbers and
+    area fluxes (FiniteVolumeFluxPrep)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {
+            "uc": VarSpec(), "vc": VarSpec(),
+            "uc_contra": VarSpec(serialname="ut"),
+            "vc_contra": VarSpec(serialname="vt"),
+            "x_area_flux": VarSpec(serialname="xfx_adv", istart=h),
+            "crx": VarSpec(serialname="crx_adv", istart=h),
+            "y_area_flux": VarSpec(serialname="yfx_adv", jstart=h),
+            "cry": VarSpec(serialname="cry_adv", jstart=h),
+            "dt": VarSpec(),
+        }
+        self.out_vars = {
+            "uc_contra": VarSpec(serialname="ut"),
+            "vc_contra": VarSpec(serialname="vt"),
+            "x_area_flux": VarSpec(serialname="xfx_adv", istart=h),
+            "crx": VarSpec(serialname="crx_adv", istart=h),
+            "y_area_flux": VarSpec(serialname="yfx_adv", jstart=h),
+            "cry": VarSpec(serialname="cry_adv", jstart=h),
+        }
+        self.stagger = {
+            "uc": (1, 0), "vc": (0, 1),
+            "uc_contra": (1, 0), "vc_contra": (0, 1),
+            "x_area_flux": (1, 0), "crx": (1, 0),
+            "y_area_flux": (0, 1), "cry": (0, 1),
+        }
+
+    def make_inputs(self, s0, s1, gd):
+        shape3 = s1["pt"].shape
+        zeros = np.zeros(shape3)
+        return {
+            "uc": s1["uc"], "vc": s1["vc"],
+            "uc_contra": zeros, "vc_contra": zeros,
+            "x_area_flux": zeros, "crx": zeros,
+            "y_area_flux": zeros, "cry": zeros, "dt": 112.5,
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.fxadv import fx_adv
+
+        crx, cry, xaf, yaf, ut, vt = fx_adv(
+            jnp.asarray(inputs["uc"]), jnp.asarray(inputs["vc"]),
+            jnp.asarray(inputs["uc_contra"]),
+            jnp.asarray(inputs["vc_contra"]),
+            self.gd, self.n, self.h, float(inputs["dt"]),
+        )
+        return {
+            "uc_contra": np.asarray(ut), "vc_contra": np.asarray(vt),
+            "x_area_flux": np.asarray(xaf), "crx": np.asarray(crx),
+            "y_area_flux": np.asarray(yaf), "cry": np.asarray(cry),
+        }
+
+
+@register("D2A2C_Vect")
+class TranslateD2A2CVect(BaseOpCase):
+    """reference translate_d2a2c_vect.py TranslateD2A2C_Vect: D-grid
+    winds -> A- and C-grid winds + contravariant components.
+    max_error 2e-10 matches the reference."""
+
+    max_error = 2e-10
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            name: VarSpec() for name in
+            ("uc", "vc", "u", "v", "ua", "va", "utc", "vtc")
+        }
+        self.out_vars = {
+            name: VarSpec() for name in
+            ("uc", "vc", "ua", "va", "utc", "vtc")
+        }
+        self.stagger = {
+            "u": (0, 1), "vc": (0, 1), "v": (1, 0), "uc": (1, 0),
+        }
+
+    def make_inputs(self, s0, s1, gd):
+        zeros = np.zeros(s1["pt"].shape)
+        return {
+            "uc": zeros, "vc": zeros, "u": s1["u"], "v": s1["v"],
+            "ua": zeros, "va": zeros, "utc": zeros, "vtc": zeros,
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.d2a2c import d2a2c_vect
+
+        uc, vc, ua, va, ut, vt = d2a2c_vect(
+            jnp.asarray(inputs["u"]), jnp.asarray(inputs["v"]),
+            self.gd, self.n, self.h, dord4=True,
+        )
+        return {
+            "uc": np.asarray(uc), "vc": np.asarray(vc),
+            "ua": np.asarray(ua), "va": np.asarray(va),
+            "utc": np.asarray(ut), "vtc": np.asarray(vt),
+        }
+
+
+@register("CubedToLatLon")
+class TranslateCubedToLatLon(BaseOpCase):
+    """reference translate_cubedtolatlon.py TranslateCubedToLatLon:
+    D-grid u/v -> lat/lon A-grid ua/va (ord4 with vector halo)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "u": VarSpec(), "v": VarSpec(), "ua": VarSpec(),
+            "va": VarSpec(),
+        }
+        self.out_vars = {
+            "ua": VarSpec(), "va": VarSpec(), "u": VarSpec(),
+            "v": VarSpec(),
+        }
+        self.stagger = {"u": (0, 1), "v": (1, 0)}
+
+    def make_inputs(self, s0, s1, gd):
+        zeros = np.zeros(s1["pt"].shape)
+        return {"u": s1["u"], "v": s1["v"], "ua": zeros, "va": zeros}
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.c2l_ord import cubed_to_latlon
+
+        topo = get_topology(self.n, self.h)
+        ua, va, u, v = cubed_to_latlon(
+            jnp.asarray(inputs["u"]), jnp.asarray(inputs["v"]),
+            self.gd, topo, self.n, self.h, order=4,
+        )
+        return {
+            "ua": np.asarray(ua), "va": np.asarray(va),
+            "u": np.asarray(u), "v": np.asarray(v),
+        }
+
+
+@register("UpdateDzC")
+class TranslateUpdateDzC(BaseOpCase):
+    """reference translate_updatedzc.py TranslateUpdateDzC: zs/utc/vtc/
+    gz/ws + dt2 -> gz, ws (UpdateGeopotentialHeightOnCGrid)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "zs": VarSpec(),
+            "ut": VarSpec(serialname="utc"),
+            "vt": VarSpec(serialname="vtc"),
+            "gz": VarSpec(), "ws": VarSpec(), "dt2": VarSpec(),
+        }
+        self.out_vars = {"gz": VarSpec(), "ws": VarSpec()}
+        self.stagger = {"ut": (1, 0), "vt": (0, 1)}
+
+    def make_inputs(self, s0, s1, gd):
+        gz = gz_from_delz(s1["phis"], s1["delz"])
+        shape3 = s1["pt"].shape
+        return {
+            "zs": s1["phis"] / 9.80665,
+            "ut": smooth_field(shape3, 27, 10.0),
+            "vt": smooth_field(shape3, 28, 10.0),
+            "gz": gz, "ws": np.zeros(s1["ps"].shape), "dt2": 112.5,
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.updatedz import update_dz_c
+
+        ak = np.asarray(self.gd.vertical.ak, np.float64)
+        bk = np.asarray(self.gd.vertical.bk, np.float64)
+        ph = ak + bk * 1.0e5
+        gz, ws = update_dz_c(
+            jnp.asarray(ph[1:] - ph[:-1]), jnp.asarray(inputs["zs"]),
+            self.gd.horizontal.area, jnp.asarray(inputs["ut"]),
+            jnp.asarray(inputs["vt"]), jnp.asarray(inputs["gz"]),
+            self.n, self.h, float(inputs["dt2"]),
+        )
+        return {"gz": np.asarray(gz), "ws": np.asarray(ws)}
+
+
+@register("PE_Halo")
+class TranslatePEHalo(BaseOpCase):
+    """reference translate_pe_halo.py TranslatePE_Halo: pe (i,k,j) +
+    delp + ptop -> edge pe on the compute-domain halo ring."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {
+            "pe": VarSpec(istart=h - 1, jstart=h - 1, kaxis=1),
+            "delp": VarSpec(), "ptop": VarSpec(),
+        }
+        self.out_vars = {
+            "pe": VarSpec(istart=h - 1, jstart=h - 1, kaxis=1),
+        }
+
+    def make_inputs(self, s0, s1, gd):
+        return {"pe": s1["pe"], "delp": s1["delp"],
+                "ptop": float(np.asarray(gd.vertical.ptop))}
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.nh_p_grad import pe_halo
+
+        pe = pe_halo(
+            jnp.asarray(inputs["pe"]), jnp.asarray(inputs["delp"]),
+            float(inputs["ptop"]), self.n, self.h,
+        )
+        return {"pe": np.asarray(pe)}
+
+
+@register("PK3_Halo")
+class TranslatePK3Halo(BaseOpCase):
+    """reference translate_pk3_halo.py TranslatePK3_Halo: pk3/delp +
+    akap/ptop -> pk3 on the halo ring."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "pk3": VarSpec(), "delp": VarSpec(),
+            "akap": VarSpec(), "ptop": VarSpec(),
+        }
+        self.out_vars = {"pk3": VarSpec()}
+
+    def make_inputs(self, s0, s1, gd):
+        pk3 = np.concatenate(
+            [s1["pk"], s1["pk"][..., -1:]], -1
+        ) if s1["pk"].shape[-1] == self.sizing.nz else s1["pk"]
+        return {"pk3": pk3, "delp": s1["delp"], "akap": 2.0 / 7.0,
+                "ptop": float(np.asarray(gd.vertical.ptop))}
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.nh_p_grad import pk3_halo
+
+        pk3 = pk3_halo(
+            jnp.asarray(inputs["pk3"]), jnp.asarray(inputs["delp"]),
+            float(inputs["ptop"]), float(inputs["akap"]), self.n, self.h,
+        )
+        return {"pk3": np.asarray(pk3)}
+
+
+@register("Ray_Fast")
+class TranslateRayFast(BaseOpCase):
+    """reference translate_ray_fast.py TranslateRay_Fast: u/v/w + dp/
+    pfull reference columns + dt/ptop -> Rayleigh-damped winds."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "u": VarSpec(), "v": VarSpec(), "w": VarSpec(),
+            "dp": VarSpec(column=True), "pfull": VarSpec(column=True),
+            "dt": VarSpec(), "ptop": VarSpec(),
+        }
+        self.out_vars = {
+            "u": VarSpec(), "v": VarSpec(), "w": VarSpec(),
+        }
+        self.stagger = {"u": (0, 1), "v": (1, 0)}
+
+    def make_inputs(self, s0, s1, gd):
+        ak = np.asarray(gd.vertical.ak, np.float64)
+        bk = np.asarray(gd.vertical.bk, np.float64)
+        ph = ak + bk * 1.0e5
+        return {
+            "u": s1["u"], "v": s1["v"], "w": s1["w"],
+            "dp": ph[1:] - ph[:-1],
+            "pfull": (ph[1:] - ph[:-1]) / np.log(ph[1:] / ph[:-1]),
+            "dt": 112.5, "ptop": float(np.asarray(gd.vertical.ptop)),
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.nh_p_grad import ray_fast
+
+        u, v, w = ray_fast(
+            jnp.asarray(inputs["u"]), jnp.asarray(inputs["v"]),
+            jnp.asarray(inputs["w"]), jnp.asarray(inputs["dp"]),
+            jnp.asarray(inputs["pfull"]), float(inputs["dt"]),
+            float(inputs["ptop"]), self.config.rf_cutoff,
+            self.config.tau, self.config.hydrostatic,
+        )
+        return {"u": np.asarray(u), "v": np.asarray(v),
+                "w": np.asarray(w)}
+
+
+@register("Neg_Adj3")
+class TranslateNegAdj3(BaseOpCase, _TracersMixin):
+    """reference translate_neg_adj3.py TranslateNeg_Adj3: tracers +
+    pt/delp/delz/peln -> fixed tracers (near-zero errors ignored for
+    tracers, as the reference does)."""
+
+    ignore_near_zero_errors = _TracersMixin.TRACERS
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {name: VarSpec() for name in self.TRACERS}
+        for name in ("pt", "delp", "delz"):
+            self.in_vars[name] = VarSpec()
+        self.in_vars["peln"] = VarSpec(istart=h, jstart=h, kaxis=1)
+        self.out_vars = {name: VarSpec() for name in self.TRACERS}
+
+    def make_inputs(self, s0, s1, gd):
+        d = {name: np.array(s1[name]) for name in self.TRACERS}
+        # inject negatives so the fixer has work to do
+        d["qliquid"][:, self.h + 2, self.h + 3, 5] = -1e-8
+        d["qvapor"][:, self.h + 4, self.h + 1, 7] = -1e-9
+        d.update(pt=s1["pt"], delp=s1["delp"], delz=s1["delz"],
+                 peln=s1["peln"])
+        return d
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.neg_adj3 import adjust_negative_tracers
+
+        tracers = {name: jnp.asarray(inputs[name])
+                   for name in self.TRACERS}
+        out, _pt = adjust_negative_tracers(
+            tracers, jnp.asarray(inputs["pt"]),
+            jnp.asarray(inputs["delp"]),
+        )
+        return {name: np.asarray(out[name]) for name in self.TRACERS}
+
+
+@register("PressureAdjustedTemperature_NonHydrostatic")
+class TranslatePressureAdjustedTemperature(BaseOpCase):
+    """reference translate_pressureadjustedtemperature_nonhydrostatic
+    .py: cappa/delp/delz/pt + heat_source_dyn + bdt -> diffusively
+    heated pt (delt_time_factor = |bdt * delt_max|)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "cappa": VarSpec(), "delp": VarSpec(), "delz": VarSpec(),
+            "pt": VarSpec(),
+            "heat_source": VarSpec(serialname="heat_source_dyn"),
+            "bdt": VarSpec(),
+        }
+        self.out_vars = {"pt": VarSpec()}
+
+    def make_inputs(self, s0, s1, gd):
+        return {
+            "cappa": np.full(s1["pt"].shape, 0.28), "delp": s1["delp"],
+            "delz": s1["delz"], "pt": s1["pt"],
+            "heat_source": smooth_field(s1["pt"].shape, 29, 1e2),
+            "bdt": 225.0,
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.nh_p_grad import apply_diffusive_heating
+
+        pt = apply_diffusive_heating(
+            jnp.asarray(inputs["delp"]), jnp.asarray(inputs["delz"]),
+            jnp.asarray(inputs["cappa"]),
+            jnp.asarray(inputs["heat_source"]),
+            jnp.asarray(inputs["pt"]),
+            abs(float(inputs["bdt"]) * self.config.delt_max),
+        )
+        return {"pt": np.asarray(pt)}
+
+
+@register("LastStep")
+class TranslateLastStep(BaseOpCase, _TracersMixin):
+    """reference translate_last_step.py TranslateLastStep: tracers/pt/
+    pkz + gz1d scratch + r_vir/dtmp -> moist_pt_last_step pt (the gz1d
+    output is the bottom-row cvm scratch)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {
+            name: VarSpec() for name in self.TRACERS[:6]
+        }
+        self.in_vars["pt"] = VarSpec()
+        self.in_vars["pkz"] = VarSpec(istart=h, jstart=h)
+        self.in_vars["gz"] = VarSpec(serialname="gz1d", no_j=True)
+        self.in_vars["r_vir"] = VarSpec()
+        self.in_vars["dtmp"] = VarSpec()
+        self.out_vars = {
+            "gz": VarSpec(serialname="gz1d", no_j=True),
+            "pt": VarSpec(),
+        }
+
+    def make_inputs(self, s0, s1, gd):
+        d = {name: s1[name] for name in self.TRACERS[:6]}
+        d.update(pt=s1["pt"], pkz=s1["pkz"],
+                 gz=np.zeros(s1["pt"].shape[:2]),
+                 r_vir=0.608, dtmp=0.02)
+        return d
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.moist_cv import moist_pt_last_step
+
+        gz3, pt = moist_pt_last_step(
+            *(jnp.asarray(inputs[n]) for n in
+              ("qvapor", "qliquid", "qrain", "qsnow", "qice",
+               "qgraupel")),
+            jnp.asarray(inputs["pt"]), jnp.asarray(inputs["pkz"]),
+            float(inputs["dtmp"]), float(inputs["r_vir"]),
+        )
+        # the reference validates gz1d only as the (i,) row at
+        # j=je, k=npz-1 (the stencil's last write)
+        gz_row = np.asarray(gz3)[:, :, self.h + self.n - 1, -1]
+        return {"gz": gz_row, "pt": np.asarray(pt)}
+
+
+class _MoistCV2dBase(BaseOpCase, _TracersMixin):
+    """Shared layout of the two j-slab moist_cv savepoints: tracers
+    serialized as (i, k) j-slices ('_js' names), gz1d/cvm as i-rows."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            name: VarSpec(serialname=name + "_js", no_j=True)
+            for name in self.TRACERS[:6]
+        }
+        for name in ("delp", "delz", "q_con", "pt", "cappa"):
+            self.in_vars[name] = VarSpec(no_j=True)
+
+    def make_inputs(self, s0, s1, gd):
+        j = self.h  # the serialized j-slice (reference grid.js)
+        d = {name: s1[name][:, :, j, :] for name in self.TRACERS[:6]}
+        for name in ("delp", "delz", "q_con", "pt"):
+            d[name] = s1[name][:, :, j, :]
+        d["cappa"] = np.full(s1["pt"][:, :, j, :].shape, 0.28)
+        d["r_vir"] = 0.608
+        return d
+
+    def _tracer_args(self, inputs):
+        import jax.numpy as jnp
+
+        return tuple(
+            jnp.asarray(inputs[n]) for n in
+            ("qvapor", "qliquid", "qrain", "qsnow", "qice", "qgraupel")
+        )
+
+
+@register("MoistCVPlusPt_2d")
+class TranslateMoistCVPlusPt2d(_MoistCV2dBase):
+    """reference translate_moistcvpluspt_2d.py: j-slab moist_pt ->
+    pt/cappa/q_con."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars["r_vir"] = VarSpec()
+        self.out_vars = {
+            "pt": VarSpec(no_j=True), "cappa": VarSpec(no_j=True),
+            "q_con": VarSpec(no_j=True),
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.moist_cv import moist_pt
+
+        cvm, gz, q_con, cappa, pt = moist_pt(
+            *self._tracer_args(inputs),
+            jnp.asarray(inputs["pt"]), jnp.asarray(inputs["delp"]),
+            jnp.asarray(inputs["delz"]), float(inputs["r_vir"]),
+        )
+        return {"pt": np.asarray(pt), "cappa": np.asarray(cappa),
+                "q_con": np.asarray(q_con)}
+
+
+@register("MoistCVPlusPkz_2d")
+class TranslateMoistCVPlusPkz2d(_MoistCV2dBase):
+    """reference translate_moistcvpluspkz_2d.py: j-slab moist_pkz ->
+    pkz/cappa/q_con (+ gz1d/cvm scratch rows)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars["gz"] = VarSpec(serialname="gz1d", no_j=True)
+        self.in_vars["cvm"] = VarSpec(no_j=True)
+        self.in_vars["pkz"] = VarSpec(no_j=True)
+        self.in_vars["r_vir"] = VarSpec()
+        self.out_vars = {
+            "gz": VarSpec(serialname="gz1d", no_j=True),
+            "cvm": VarSpec(no_j=True),
+            "pkz": VarSpec(no_j=True), "cappa": VarSpec(no_j=True),
+            "q_con": VarSpec(no_j=True),
+        }
+
+    def make_inputs(self, s0, s1, gd):
+        d = super().make_inputs(s0, s1, gd)
+        d["gz"] = np.zeros(s1["pt"].shape[:2])
+        d["cvm"] = np.zeros(s1["pt"].shape[:2])
+        d["pkz"] = s1["pkz"][:, :, self.h, :]
+        return d
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.moist_cv import moist_pkz
+
+        q_con, gz, cvm, cappa, pkz = moist_pkz(
+            *self._tracer_args(inputs),
+            jnp.asarray(inputs["pt"]), jnp.asarray(inputs["delp"]),
+            jnp.asarray(inputs["delz"]), float(inputs["r_vir"]),
+        )
+        return {
+            "gz": np.asarray(gz)[:, :, -1], "cvm": np.asarray(cvm)[:, :, -1],
+            "pkz": np.asarray(pkz), "cappa": np.asarray(cappa),
+            "q_con": np.asarray(q_con),
+        }
+
+
+@register("XTP_U")
+class TranslateXTPU(BaseOpCase):
+    """reference translate_xtp_u.py TranslateXTP_U: u + ub (corner
+    wind x dt) -> vb flux of u along x."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {
+            "u": VarSpec(),
+            "c": VarSpec(serialname="ub", istart=h, jstart=h),
+            "flux": VarSpec(serialname="vb", istart=h, jstart=h),
+        }
+        self.out_vars = {
+            "flux": VarSpec(serialname="vb", istart=h, jstart=h),
+        }
+        self.stagger = {
+            "u": (0, 1), "c": (1, 1), "flux": (1, 1),
+        }
+
+    def make_inputs(self, s0, s1, gd):
+        return {
+            "u": s1["u"], "c": smooth_field(s1["pt"].shape, 30, 5.0),
+            "flux": np.zeros(s1["pt"].shape),
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.xtp import advect_u_along_x
+
+        hz = self.gd.horizontal
+        flux = advect_u_along_x(
+            jnp.asarray(inputs["u"]), jnp.asarray(inputs["c"]),
+            hz.rdx[..., None], hz.dx[..., None], hz.dxa[..., None],
+            1.0, self.n, self.h, self.config.hord_mt,
+        )
+        return {"flux": np.asarray(flux)}
+
+
+@register("YTP_V")
+class TranslateYTPV(BaseOpCase):
+    """reference translate_ytp_v.py TranslateYTP_V: v + vb (corner
+    wind x dt) -> ub flux of v along y."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {
+            "c": VarSpec(serialname="vb", istart=h, jstart=h),
+            "v": VarSpec(),
+            "flux": VarSpec(serialname="ub", istart=h, jstart=h),
+        }
+        self.out_vars = {
+            "flux": VarSpec(serialname="ub", istart=h, jstart=h),
+        }
+        self.stagger = {
+            "v": (1, 0), "c": (1, 1), "flux": (1, 1),
+        }
+
+    def make_inputs(self, s0, s1, gd):
+        return {
+            "v": s1["v"], "c": smooth_field(s1["pt"].shape, 31, 5.0),
+            "flux": np.zeros(s1["pt"].shape),
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.xtp import advect_v_along_y
+
+        hz = self.gd.horizontal
+        flux = advect_v_along_y(
+            jnp.asarray(inputs["v"]), jnp.asarray(inputs["c"]),
+            hz.rdy[..., None], hz.dy[..., None], hz.dya[..., None],
+            1.0, self.n, self.h, self.config.hord_mt,
+        )
+        return {"flux": np.asarray(flux)}
+
+
+@register("YPPM")
+class TranslateYPPM(BaseOpCase):
+    """reference translate_yppm.py TranslateYPPM: q (serial 'q'),
+    c (compute-j), param jord (+ ifirst/ilast window markers kept for
+    savepoint compatibility) -> flux."""
+
+    q_serial = "q"
+    flux_serial = "flux"
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {
+            "q": VarSpec(serialname=self.q_serial),
+            "c": VarSpec(jstart=h),
+            "jord": VarSpec(), "ifirst": VarSpec(), "ilast": VarSpec(),
+        }
+        self.out_vars = {
+            "flux": VarSpec(serialname=self.flux_serial, jstart=h),
+        }
+        self.stagger = {"c": (0, 1), "flux": (0, 1)}
+
+    def make_inputs(self, s0, s1, gd):
+        return {
+            "q": s1["pt"], "c": smooth_field(s1["pt"].shape, 32, 0.2),
+            "jord": 8, "ifirst": self.h, "ilast": self.h + self.n - 1,
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.xppm import y_flux
+
+        dya = jnp.asarray(self.gd.horizontal.dya)[..., None]
+        flux = y_flux(
+            jnp.asarray(inputs["q"]), jnp.asarray(inputs["c"]), dya,
+            self.n, self.h, int(inputs["jord"]),
+        )
+        return {"flux": np.asarray(flux)}
+
+
+@register("YPPM_2")
+class TranslateYPPM2(TranslateYPPM):
+    """reference translate_yppm.py TranslateYPPM_2: second savepoint
+    instance with q_2/flux_2 serial names."""
+
+    q_serial = "q_2"
+    flux_serial = "flux_2"
+
+
+@register("CopyCorners")
+class TranslateCopyCorners(BaseOpCase):
+    """reference translate_corners.py TranslateCopyCorners: q + dir
+    (1=x, 2=y) -> corner-copied q."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {"q": VarSpec(), "dir": VarSpec()}
+        self.out_vars = {"q": VarSpec()}
+
+    def make_inputs(self, s0, s1, gd):
+        return {"q": s1["pt"], "dir": 1}
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.corners import copy_corners
+
+        direction = {1: "x", 2: "y"}[int(inputs["dir"])]
+        q = copy_corners(
+            jnp.asarray(inputs["q"]), self.n, self.h, direction)
+        return {"q": np.asarray(q)}
+
+
+@register("Fill4Corners")
+class TranslateFill4Corners(BaseOpCase):
+    """reference translate_corners.py TranslateFill4Corners: q4c + dir
+    -> 2-cell corner fills."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {"q4c": VarSpec(), "dir": VarSpec()}
+        self.out_vars = {"q4c": VarSpec()}
+
+    def make_inputs(self, s0, s1, gd):
+        return {"q4c": s1["pt"], "dir": 1}
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.corners import fill_corners_cells
+
+        direction = {1: "x", 2: "y"}[int(inputs["dir"])]
+        q = jnp.asarray(inputs["q4c"])
+        q = fill_corners_cells(q, q, self.n, self.h, direction, 2)
+        return {"q4c": np.asarray(q)}
+
+
+@register("FillCorners")
+class TranslateFillCorners(BaseOpCase):
+    """reference translate_corners.py TranslateFillCorners: divg_d
+    B-grid corner fill on the k-levels where nord_col != 0."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "divg_d": VarSpec(), "nord_col": VarSpec(column=True),
+            "dir": VarSpec(),
+        }
+        self.out_vars = {"divg_d": VarSpec()}
+        self.stagger = {"divg_d": (1, 1)}
+
+    def make_inputs(self, s0, s1, gd):
+        return {
+            "divg_d": smooth_field(s1["pt"].shape, 33, 1e-5),
+            "nord_col": _col(self.sizing, 0, self.config.nord),
+            "dir": 1,
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.corners import fill_corners_2d
+
+        direction = {1: "x", 2: "y"}[int(inputs["dir"])]
+        q = jnp.asarray(inputs["divg_d"])
+        filled = fill_corners_2d(q, self.n, self.h, "B", direction)
+        mask = jnp.asarray(inputs["nord_col"]) != 0
+        out = jnp.where(mask[None, None, None, :], filled, q)
+        return {"divg_d": np.asarray(out)}
+
+
+@register("FillCornersVector")
+class TranslateFillCornersVector(BaseOpCase):
+    """reference translate_corners.py TranslateFillCornersVector:
+    vc/uc D-grid vector corner fill (mysign=-1) on nord!=0 levels."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "vc": VarSpec(), "uc": VarSpec(),
+            "nord_col": VarSpec(column=True),
+        }
+        self.out_vars = {"vc": VarSpec(), "uc": VarSpec()}
+        self.stagger = {"vc": (0, 1), "uc": (1, 0)}
+
+    def make_inputs(self, s0, s1, gd):
+        return {
+            "vc": s1["vc"], "uc": s1["uc"],
+            "nord_col": _col(self.sizing, 0, self.config.nord),
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.corners import fill_corners_dgrid
+
+        vc = jnp.asarray(inputs["vc"])
+        uc = jnp.asarray(inputs["uc"])
+        x, y = fill_corners_dgrid(vc, uc, self.n, self.h, vector=True)
+        mask = (jnp.asarray(inputs["nord_col"]) != 0)[None, None, None, :]
+        return {
+            "vc": np.asarray(jnp.where(mask, x, vc)),
+            "uc": np.asarray(jnp.where(mask, y, uc)),
+        }
+
+
+@register("QSInit")
+class TranslateQSInit(BaseOpCase):
+    """reference translate_qsinit.py TranslateQSInit: the saturation
+    vapor-pressure tables (table/table2/tablew/des2/desw).  This
+    framework computes qs analytically (ops/saturation_adjustment.py)
+    but regenerates the reference's 2621-entry tables here for
+    savepoint parity.  max_error 1e-12 matches the reference."""
+
+    max_error = 1e-12
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        names = ("table", "table2", "tablew", "des2", "desw")
+        self.in_vars = {n: VarSpec(column=True) for n in names}
+        self.out_vars = {n: VarSpec(column=True) for n in names}
+
+    def make_inputs(self, s0, s1, gd):
+        from pace_tpu.ops.saturation_adjustment import _qs_tables
+
+        table, table2, tablew, des2, desw = _qs_tables()
+        return {"table": np.asarray(table), "table2": np.asarray(table2),
+                "tablew": np.asarray(tablew), "des2": np.asarray(des2),
+                "desw": np.asarray(desw)}
+
+    def compute(self, inputs):
+        from pace_tpu.ops.saturation_adjustment import _qs_tables
+
+        table, table2, tablew, des2, desw = _qs_tables()
+        return {"table": np.asarray(table), "table2": np.asarray(table2),
+                "tablew": np.asarray(tablew), "des2": np.asarray(des2),
+                "desw": np.asarray(desw)}
+
+
+@register("SatAdjust3d")
+class TranslateSatAdjust3d(BaseOpCase, _TracersMixin):
+    """reference translate_satadjust3d.py TranslateSatAdjust3d: fast
+    saturation adjustment inside the remap last step.  te rides along
+    unchanged (consv_te=0, as every exercised config).  max_error
+    2e-11 matches the reference."""
+
+    max_error = 2e-11
+    ignore_near_zero_errors = _TracersMixin.TRACERS + ("q_con",)
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {name: VarSpec() for name in self.TRACERS}
+        for name in ("te", "hs", "delp", "delz", "q_con", "pt",
+                     "cappa"):
+            self.in_vars[name] = VarSpec()
+        self.in_vars["peln"] = VarSpec(istart=h, jstart=h, kaxis=1)
+        self.in_vars["pkz"] = VarSpec(istart=h, jstart=h)
+        for p in ("r_vir", "mdt", "fast_mp_consv", "last_step", "akap",
+                  "kmp"):
+            self.in_vars[p] = VarSpec()
+        self.out_vars = {name: VarSpec() for name in self.TRACERS}
+        for name in ("te", "q_con", "pt", "cappa"):
+            self.out_vars[name] = VarSpec()
+        self.out_vars["pkz"] = VarSpec(istart=h, jstart=h)
+
+    def make_inputs(self, s0, s1, gd):
+        d = {name: s1[name] for name in self.TRACERS}
+        shape3 = s1["pt"].shape
+        d.update(
+            te=np.zeros(shape3), hs=s1["phis"], delp=s1["delp"],
+            delz=s1["delz"], q_con=s1["q_con"], pt=s1["pt"],
+            cappa=np.full(shape3, 0.28), peln=s1["peln"],
+            pkz=s1["pkz"], r_vir=0.608, mdt=225.0, fast_mp_consv=0,
+            last_step=1, akap=2.0 / 7.0, kmp=1,
+        )
+        return d
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.saturation_adjustment import (
+            saturation_adjustment,
+        )
+
+        tracers = {name: jnp.asarray(inputs[name])
+                   for name in self.TRACERS}
+        delp = jnp.asarray(inputs["delp"])
+        out_tracers, q_con, pt, pkz, cappa, _dp, _dz, _pe = (
+            saturation_adjustment(
+                delp, tracers, jnp.asarray(inputs["hs"]),
+                jnp.asarray(inputs["peln"]), delp,
+                jnp.asarray(inputs["delz"]),
+                jnp.asarray(inputs["q_con"]),
+                jnp.asarray(inputs["pt"]), jnp.asarray(inputs["pkz"]),
+                jnp.asarray(inputs["cappa"]), float(inputs["r_vir"]),
+                float(inputs["mdt"]), bool(inputs["last_step"]),
+                float(inputs["akap"]), self.gd, self.config,
+                self.n, self.h,
+            )
+        )
+        result = {name: np.asarray(out_tracers[name])
+                  for name in self.TRACERS}
+        result.update(
+            te=inputs["te"], q_con=np.asarray(q_con),
+            pt=np.asarray(pt), pkz=np.asarray(pkz),
+            cappa=np.asarray(cappa),
+        )
+        return result
+
+
+@register("FVSubgridZ")
+class TranslateFVSubgridZ(BaseOpCase, _TracersMixin):
+    """reference translate_fvsubgridz.py TranslateFVSubgridZ: dry
+    convective adjustment in the top sponge (state fields + tracers +
+    u_dt/v_dt accumulators -> mixed state and wind tendencies)."""
+
+    ALL_TRACERS = ("qvapor", "qliquid", "qrain", "qsnow", "qice",
+                   "qgraupel", "qo3mr", "qsgs_tke", "qcld")
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {name: VarSpec() for name in self.ALL_TRACERS}
+        for name in ("delp", "delz", "pt", "ua", "va", "w", "u_dt",
+                     "v_dt"):
+            self.in_vars[name] = VarSpec()
+        self.in_vars["pe"] = VarSpec(istart=h - 1, jstart=h - 1, kaxis=1)
+        self.in_vars["peln"] = VarSpec(istart=h, jstart=h, kaxis=1)
+        self.in_vars["pkz"] = VarSpec(istart=h, jstart=h)
+        self.in_vars["dt"] = VarSpec()
+        self.out_vars = {
+            name: VarSpec() for name in self.ALL_TRACERS
+            if name not in ("qo3mr", "qsgs_tke")
+        }
+        for name in ("pt", "ua", "va", "w", "u_dt", "v_dt"):
+            self.out_vars[name] = VarSpec()
+
+    def make_inputs(self, s0, s1, gd):
+        d = {name: s1.get(name, np.zeros(s1["pt"].shape))
+             for name in self.ALL_TRACERS}
+        zeros = np.zeros(s1["pt"].shape)
+        d.update(
+            delp=s1["delp"], delz=s1["delz"], pt=s1["pt"],
+            ua=s1["ua"], va=s1["va"], w=s1["w"], u_dt=zeros,
+            v_dt=zeros, pe=s1["pe"], peln=s1["peln"], pkz=s1["pkz"],
+            dt=225.0,
+        )
+        return d
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.fv_subgridz import dry_convective_adjustment
+
+        s = {name: jnp.asarray(inputs[name])
+             for name in self.ALL_TRACERS + (
+                 "delp", "delz", "pt", "ua", "va", "w", "peln", "pkz")}
+        out, u_dt, v_dt = dry_convective_adjustment(
+            s, float(inputs["dt"]), fv_sg_adj=3600.0,
+            n_sponge=self.config.n_sponge, nwat=self.config.nwat,
+            hydrostatic=False,
+            ptop=float(np.asarray(self.gd.vertical.ptop)),
+        )
+        result = {name: np.asarray(out[name]) for name in self.out_vars
+                  if name in out}
+        result["u_dt"] = np.asarray(u_dt) + np.asarray(inputs["u_dt"])
+        result["v_dt"] = np.asarray(v_dt) + np.asarray(inputs["v_dt"])
+        for name in self.out_vars:
+            result.setdefault(name, np.asarray(inputs[name]))
+        return result

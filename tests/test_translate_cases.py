@@ -16,6 +16,8 @@ parallel_translate.py:14 (multi-rank layouts).
 import numpy as np
 import pytest
 
+import pace_tpu.utils.translate_cases_grid  # noqa: F401  (registers)
+import pace_tpu.utils.translate_cases_physics  # noqa: F401  (registers)
 from pace_tpu.utils.translate import SavepointDataset, write_savepoint
 from pace_tpu.utils.translate_cases import CASES
 
@@ -40,7 +42,7 @@ def _gz_from_delz(phis, delz):
     return np.concatenate([zs[..., None] - below, zs[..., None]], -1)
 
 
-def _build_inputs(name, sizing, gd, state0, state1):
+def _build_inputs(name, sizing, gd, state0, state1, case=None):
     """Global input arrays for each registered case."""
     n, nz = sizing.n, sizing.nz
     s0 = {f: np.asarray(getattr(state0, f), np.float64)
@@ -163,6 +165,10 @@ def _build_inputs(name, sizing, gd, state0, state1):
         d = dict(s0)
         d["bdt"] = 225.0
         return d
+    # round-4 cases carry their own input builders (translate_cases.py
+    # make_inputs), colocated with the VarSpec declarations
+    if case is not None and hasattr(case, "make_inputs"):
+        return case.make_inputs(s0, s1, gd)
     raise KeyError(name)
 
 
@@ -218,7 +224,8 @@ def _roundtrip(case, inputs, data_dir):
     return case.validate(ds)
 
 
-FAST_CASES = sorted(set(CASES) - {"FVDynamics"})
+# FVDynamics/Driver jit the whole (coupled) model — separate tests below
+FAST_CASES = sorted(set(CASES) - {"FVDynamics", "Driver"})
 
 
 @pytest.mark.parametrize("name", FAST_CASES)
@@ -226,7 +233,7 @@ def test_translate_case_roundtrip(name, c12_f64_run, tmp_path):
     sizing, gd, state0, states = c12_f64_run
     cls = CASES[name]
     case = cls(sizing, gd)
-    inputs = _build_inputs(name, sizing, gd, state0, states[0])
+    inputs = _build_inputs(name, sizing, gd, state0, states[0], case=case)
     errors = _roundtrip(case, inputs, str(tmp_path))
     # outputs written from the same compute: round-trip must be exact
     for var, err in errors.items():
@@ -238,6 +245,19 @@ def test_translate_fvdynamics_roundtrip(c12_f64_run, tmp_path):
     separate test because it jits the full dycore."""
     sizing, gd, state0, states = c12_f64_run
     case = CASES["FVDynamics"](sizing, gd)
+    inputs = _build_inputs("FVDynamics", sizing, gd, state0, states[0])
+    errors = _roundtrip(case, inputs, str(tmp_path))
+    for var, err in errors.items():
+        assert err <= case.max_error, (var, err)
+
+
+def test_translate_driver_roundtrip(c12_f64_run, tmp_path):
+    """The coupled one-step savepoint (reference physics
+    translate_driver.py TranslateDriver, max_error 3e-5 — VERDICT r3
+    next #9): dycore + DycoreToPhysics + Physics +
+    UpdateAtmosphereState in one jit."""
+    sizing, gd, state0, states = c12_f64_run
+    case = CASES["Driver"](sizing, gd)
     inputs = _build_inputs("FVDynamics", sizing, gd, state0, states[0])
     errors = _roundtrip(case, inputs, str(tmp_path))
     for var, err in errors.items():
