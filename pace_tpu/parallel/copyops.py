@@ -33,15 +33,13 @@ from jax import lax
 #                (2026-08-19); the 3-index-array gather pays ~2 relayout
 #                copies per halo update on TPU, ~192 gathers/step)
 #   "gather"   — whole-array gathers (previous default)
-#   "packed"   — legacy strip gathers + DUS (PACE_PACKED_HALO=1 alias)
+# (A "packed" strip-gather lowering existed through round 3; it measured
+# 2.2 ms/step slower than ppermute at C48 f32 and was removed —
+# VERDICT r3 #10.)
 # Read dynamically (module attribute) so tests can flip it at runtime.
 # Golden digests hold under both lowerings (copies are exact; the f64
 # 1e-9-of-scale pin passes with either mode).
-HALO_MODE = os.environ.get(
-    "PACE_HALO",
-    "packed" if os.environ.get("PACE_PACKED_HALO", "0") == "1"
-    else "ppermute",
-)
+HALO_MODE = os.environ.get("PACE_HALO", "ppermute")
 if HALO_MODE in ("structured", "strips"):
     HALO_MODE = "ppermute"
 
@@ -91,6 +89,15 @@ class CopyOp:
     all_tiles: bool = False
 
 
+def _pad_band(out, band, di, dj, N):
+    """Zero-pad a (6, Di, Dj, ...) band to the full (6, N, N, ...)
+    storage shape at rows di, cols dj."""
+    extra = out.ndim - 3
+    cfg = [(0, 0, 0), (di[0], N - di[1], 0), (dj[0], N - dj[1], 0)]
+    cfg += [(0, 0, 0)] * extra
+    return lax.pad(band, jnp.zeros((), band.dtype), cfg)
+
+
 def _band_write(out, band, di, dj, N):
     """Write a (6, Di, Dj, ...) band at rows di, cols dj of every tile
     via lax.pad + a static-mask select.
@@ -103,12 +110,43 @@ def _band_write(out, band, di, dj, N):
     surface.  Pad with static config partitions locally; the constant
     mask is replicated."""
     extra = out.ndim - 3
-    cfg = [(0, 0, 0), (di[0], N - di[1], 0), (dj[0], N - dj[1], 0)]
-    cfg += [(0, 0, 0)] * extra
-    padded = lax.pad(band, jnp.zeros((), band.dtype), cfg)
+    padded = _pad_band(out, band, di, dj, N)
     mask = np.zeros((1, N, N) + (1,) * extra, bool)
     mask[:, di[0]:di[1], dj[0]:dj[1]] = True
     return jnp.where(jnp.asarray(mask), padded, out)
+
+
+def _combined_band_write(out, writes, N):
+    """Write several DISJOINT bands with ONE full-array select.
+
+    The per-band `_band_write` chain materializes a full-array copy per
+    band — the C48 census' top HBM line (1.94 GB/step of band selects,
+    VERDICT r3 #4).  Summing the zero-padded bands first turns the
+    whole program into pads + an add tree + one select, which XLA fuses
+    into a single full-array traversal; under SPMD the pads still
+    partition locally and lower to the same neighbor
+    collective-permutes (pinned by tests/test_collective_bytes.py)."""
+    extra = out.ndim - 3
+    acc = None
+    mask = np.zeros((1, N, N) + (1,) * extra, bool)
+    for band, di, dj in writes:
+        padded = _pad_band(out, band, di, dj, N)
+        acc = padded if acc is None else acc + padded
+        mask[:, di[0]:di[1], dj[0]:dj[1]] = True
+    return jnp.where(jnp.asarray(mask), acc, out)
+
+
+def _write_style() -> str:
+    """Band write lowering: "select" (pad + masked select, default —
+    SPMD-optimal AND byte-cheapest) or "dus" (static
+    dynamic_update_slice chain).  Measured on the chip (C48 f32,
+    2026-08-20): dus 91.7 ms/step vs select 93.2 — inside run-to-run
+    noise — but the census charges the DUS chain 6.5 GB/step of
+    layout copies (XLA does NOT update in place; each DUS pays a
+    copy-on-write) vs 1.9 GB for the fused selects, and DUS under SPMD
+    all-gathers operands (17.8 MB of collectives per C48 scalar halo).
+    PACE_HALO_WRITE=dus re-enables the experiment."""
+    return os.environ.get("PACE_HALO_WRITE", "select")
 
 
 def apply_copy_ops(sources, out, ops, apply_sign: bool = True):
@@ -141,49 +179,70 @@ def apply_copy_ops(sources, out, ops, apply_sign: bool = True):
             strip = strip * jnp.asarray(op.sign, dtype=strip.dtype)
         return strip
 
+    # collect every band write of the program; if their destination
+    # rects are pairwise disjoint (true for all current halo/corner
+    # programs) they combine into ONE full-array select
+    pending = []  # (band, di, dj)
+
     # intra-tile (all_tiles) ops are already tile-uniform bands
     for op in ops:
         if op.all_tiles:
             strip = sources[op.comp][:, op.src_i[0]:op.src_i[1],
                                      op.src_j[0]:op.src_j[1]]
-            out = _band_write(
-                out, transform(strip, op, taxes=(1, 2)), op.dst_i, op.dst_j,
-                N,
-            )
+            pending.append(
+                (transform(strip, op, taxes=(1, 2)), op.dst_i, op.dst_j))
 
     cross = [op for op in ops if not op.all_tiles]
-    if not cross:
-        return out
+    if cross:
+        # distinct source rects, sliced across ALL tiles (local slices)
+        rects = {}
+        for op in cross:
+            key = (op.comp, op.src_i, op.src_j)
+            if key not in rects:
+                rects[key] = sources[op.comp][
+                    :, op.src_i[0]:op.src_i[1], op.src_j[0]:op.src_j[1]
+                ]
 
-    # distinct source rects, sliced across ALL tiles (local slices only)
-    rects = {}
-    for op in cross:
-        key = (op.comp, op.src_i, op.src_j)
-        if key not in rects:
-            rects[key] = sources[op.comp][
-                :, op.src_i[0]:op.src_i[1], op.src_j[0]:op.src_j[1]
-            ]
-
-    # group by destination rect; halo programs have one op per tile
-    groups = {}
-    for op in cross:
-        groups.setdefault((op.dst_i, op.dst_j), {})[op.dst_tile] = op
-    for (di, dj), by_tile in groups.items():
-        if len(by_tile) != 6:
-            # irregular program: sequential per-tile writes (correct but
-            # not SPMD-optimal; not hit by any current spec)
-            for t, op in sorted(by_tile.items()):
-                strip = transform(
+        # group by destination rect; halo programs have one op per tile
+        groups = {}
+        for op in cross:
+            groups.setdefault((op.dst_i, op.dst_j), {})[op.dst_tile] = op
+        for (di, dj), by_tile in groups.items():
+            if len(by_tile) != 6:
+                # irregular program: sequential per-tile writes (correct
+                # but not SPMD-optimal; not hit by any current spec)
+                for t, op in sorted(by_tile.items()):
+                    strip = transform(
+                        rects[(op.comp, op.src_i, op.src_j)][op.src_tile],
+                        op)
+                    zeros = (0,) * (out.ndim - 3)
+                    out = lax.dynamic_update_slice(
+                        out, strip[None],
+                        (op.dst_tile, di[0], dj[0]) + zeros)
+                continue
+            band = jnp.stack([
+                transform(
                     rects[(op.comp, op.src_i, op.src_j)][op.src_tile], op)
-                zeros = (0,) * (out.ndim - 3)
-                out = lax.dynamic_update_slice(
-                    out, strip[None], (op.dst_tile, di[0], dj[0]) + zeros)
-            continue
-        band = jnp.stack([
-            transform(
-                rects[(op.comp, op.src_i, op.src_j)][op.src_tile], op)
-            for _, op in sorted(by_tile.items())
-        ])
+                for _, op in sorted(by_tile.items())
+            ])
+            pending.append((band, di, dj))
+
+    if not pending:
+        return out
+    if _write_style() == "dus":
+        zeros = (0,) * (out.ndim - 3)
+        for band, di, dj in pending:
+            out = lax.dynamic_update_slice(
+                out, band, (0, di[0], dj[0]) + zeros)
+        return out
+    # disjointness is static (np); overlapping programs (none today)
+    # fall back to sequential selects
+    cover = np.zeros((N, N), np.int32)
+    for _, di, dj in pending:
+        cover[di[0]:di[1], dj[0]:dj[1]] += 1
+    if cover.max() <= 1:
+        return _combined_band_write(out, pending, N)
+    for band, di, dj in pending:
         out = _band_write(out, band, di, dj, N)
     return out
 

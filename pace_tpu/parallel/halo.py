@@ -24,13 +24,11 @@ from pace_tpu.parallel.copyops import apply_copy_ops as _apply_copy_ops
 from pace_tpu.parallel.topology import CubedSphereTopology, HaloSpec
 
 # Halo-update lowering is selected by PACE_HALO (see parallel/copyops.py):
-# "gather" (default), "ppermute" (CopyOp decomposition, SPMD-friendly),
-# "packed" (legacy strip gathers; PACE_PACKED_HALO=1 alias).  The mode is
-# read from copyops.HALO_MODE at call time so tests can flip it.
-
-
-def _packed_enabled() -> bool:
-    return copyops.HALO_MODE == "packed"
+# "ppermute" (CopyOp decomposition, SPMD-friendly, default) or "gather"
+# (whole-array gathers).  The mode is read from copyops.HALO_MODE at call
+# time so tests can flip it.  (A third "packed" strip-gather lowering was
+# removed after measuring 2.2 ms/step slower than ppermute at C48 f32 on a
+# v5e, 2026-08-19 flag matrix — VERDICT r3 #10.)
 
 # Active halo-traffic recorder (parallel/traffic.py HaloTrafficRecorder —
 # the CachingComm record/replay analogue).  None in production; set via
@@ -44,26 +42,11 @@ def _expand(idx, ndim_extra):
 
 
 def halo_update_scalar(q: jnp.ndarray, spec: HaloSpec) -> jnp.ndarray:
-    """Fill edge halos of a scalar field. Corner wedges keep prior values.
-
-    Uses the packed strip form (only halo points move) — the dycore is
-    HBM-bound, so not rewriting the interior matters."""
+    """Fill edge halos of a scalar field. Corner wedges keep prior values."""
     if _RECORDER is not None and _RECORDER.mode == "replay":
         return _RECORDER.substitute(q, spec)
     if copyops.structured_enabled() and spec.structured is not None:
         out = _apply_copy_ops((q,), q, spec.structured)
-        if _RECORDER is not None:
-            _RECORDER.on_result(out, spec)
-        return out
-    if _packed_enabled() and spec.packed is not None:
-        from jax import lax
-
-        zeros = (0,) * (q.ndim - 3)
-        out = q
-        for i0, j0, st, si, sj in spec.packed:
-            out = lax.dynamic_update_slice(
-                out, q[st, si, sj], (0, i0, j0) + zeros
-            )
         if _RECORDER is not None:
             _RECORDER.on_result(out, spec)
         return out
@@ -129,27 +112,6 @@ def _vector_gather(u, v, spec: HaloSpec, apply_sign: bool = True):
     if copyops.structured_enabled() and spec.structured is not None:
         own = u if spec.kind.startswith(("vector0", "ifsync0")) else v
         out = _apply_copy_ops((u, v), own, spec.structured, apply_sign)
-        if _RECORDER is not None:
-            _RECORDER.on_result(out, spec)
-        return out
-    if _packed_enabled() and spec.packed is not None:
-        # strip-gather + slice-write into the own-component array
-        from jax import lax
-
-        own = u if spec.kind.startswith(("vector0", "ifsync0")) else v
-        zeros = (0,) * (u.ndim - 3)
-        out = own
-        for i0, j0, st, si, sj, comp, sign in spec.packed:
-            from_u = u[st, si, sj]
-            from_v = v[st, si, sj]
-            vals = jnp.where(
-                _expand(comp == 0, ndim_extra), from_u, from_v
-            )
-            if apply_sign:
-                vals = _expand(sign, ndim_extra).astype(u.dtype) * vals
-            out = lax.dynamic_update_slice(
-                out, vals, (0, i0, j0) + zeros
-            )
         if _RECORDER is not None:
             _RECORDER.on_result(out, spec)
         return out

@@ -222,13 +222,8 @@ class HaloSpec:
     """Precomputed gather map for one staggering/vector kind. All index
     arrays have the full storage shape (6, N, N).
 
-    The `packed_*` fields are the bandwidth-efficient form: flat index
-    lists covering ONLY the points whose value changes (halo strips), so a
-    halo update scatters ~(4*n*halo) points per tile instead of rewriting
-    the whole array — the dycore is HBM-bound, so this matters.
-
     `structured` is the slice/transpose/flip decomposition (CopyOp list),
-    the multi-chip-friendly form (PACE_HALO=ppermute)."""
+    the multi-chip-friendly form (PACE_HALO=ppermute, the default)."""
 
     kind: str
     src_tile: jnp.ndarray
@@ -238,7 +233,6 @@ class HaloSpec:
     src_comp: jnp.ndarray | None = None
     sign: jnp.ndarray | None = None
     valid: jnp.ndarray | None = None  # False in corner wedges
-    packed: tuple | None = None  # (tt, ti, tj, st, si, sj[, comp, sign])
     structured: Tuple[CopyOp, ...] | None = None
 
 
@@ -276,69 +270,6 @@ def _copy_op_from_tables(
     return dataclasses.replace(op, dst_tile=t, src_tile=nbr)
 
 
-def _pack_spec(spec: HaloSpec, own_comp=None) -> HaloSpec:
-    """Compress a full-array map into rectangular halo strips.
-
-    Each strip is a (row-band or column-band) rectangle covering all the
-    changing points; the update becomes `gather strip values + one
-    dynamic_update_slice` per strip — no scatter (XLA SPMD mispartitions
-    scatters; Pallas rejects them) and only strip-sized traffic.  Wedge
-    and padding points inside a strip map to themselves (harmless
-    self-copy)."""
-    st = np.asarray(spec.src_tile)
-    si = np.asarray(spec.src_i)
-    sj = np.asarray(spec.src_j)
-    nt, N, _ = st.shape
-    T, I, J = np.meshgrid(np.arange(nt), np.arange(N), np.arange(N),
-                          indexing="ij")
-    changes = (st != T) | (si != I) | (sj != J)
-    if spec.src_comp is not None and own_comp is not None:
-        changes |= np.asarray(spec.src_comp) != own_comp
-    if spec.sign is not None:
-        changes |= np.asarray(spec.sign) != 1.0
-    if spec.valid is not None:
-        changes &= np.asarray(spec.valid)
-    if not changes.any():
-        return dataclasses.replace(spec, packed=())
-
-    rows_changed = np.where(changes.any(axis=(0, 2)))[0]
-    cols_changed = np.where(changes.any(axis=(0, 1)))[0]
-
-    def bands(idx, N):
-        """Contiguous index ranges [lo, hi)."""
-        out = []
-        if idx.size == 0:
-            return out
-        lo = prev = idx[0]
-        for v in idx[1:]:
-            if v != prev + 1:
-                out.append((lo, prev + 1))
-                lo = v
-            prev = v
-        out.append((lo, prev + 1))
-        return out
-
-    strips = []
-    covered = np.zeros_like(changes)
-    for lo, hi in bands(rows_changed, N):
-        strips.append((lo, 0, (slice(lo, hi), slice(0, N))))
-        covered[:, lo:hi, :] = True
-    for lo, hi in bands(cols_changed, N):
-        strips.append((0, lo, (slice(0, N), slice(lo, hi))))
-        covered[:, :, lo:hi] = True
-    assert bool((covered | ~changes).all()), "strips must cover all changes"
-
-    packed = []
-    for i0, j0, (srow, scol) in strips:
-        entry = [int(i0), int(j0),
-                 st[:, srow, scol], si[:, srow, scol], sj[:, srow, scol]]
-        if spec.src_comp is not None:
-            entry.append(np.asarray(spec.src_comp)[:, srow, scol])
-            entry.append(np.asarray(spec.sign)[:, srow, scol])
-        packed.append(tuple(entry))
-    return dataclasses.replace(spec, packed=tuple(packed))
-
-
 class CubedSphereTopology:
     """Halo gather maps for a given tile size n and halo width.
 
@@ -366,7 +297,7 @@ class CubedSphereTopology:
             )
         key = f"scalar:{stagger}"
         if key not in self._specs:
-            self._specs[key] = _pack_spec(self._build_scalar(stagger))
+            self._specs[key] = self._build_scalar(stagger)
         return self._specs[key]
 
     def scalar_corner_specs(self) -> Tuple[HaloSpec, HaloSpec]:
@@ -484,14 +415,8 @@ class CubedSphereTopology:
         A @ e_x, so u_local = sum_k (A)[k,0] * comp'_k evaluated at the
         transformed point (A is a signed permutation, so exactly one k).
         """
-        u_spec = _pack_spec(
-            self._build_vector_component(u_stagger, v_stagger, comp=0),
-            own_comp=0,
-        )
-        v_spec = _pack_spec(
-            self._build_vector_component(u_stagger, v_stagger, comp=1),
-            own_comp=1,
-        )
+        u_spec = self._build_vector_component(u_stagger, v_stagger, comp=0)
+        v_spec = self._build_vector_component(u_stagger, v_stagger, comp=1)
         return (u_spec, v_spec)
 
     def _build_vector_component(self, u_stagger, v_stagger, comp: int) -> HaloSpec:
@@ -572,14 +497,8 @@ class CubedSphereTopology:
         differing from identity on the shared lines.
         """
         return (
-            _pack_spec(
-                self._build_interface_sync(u_stagger, v_stagger, comp=0),
-                own_comp=0,
-            ),
-            _pack_spec(
-                self._build_interface_sync(u_stagger, v_stagger, comp=1),
-                own_comp=1,
-            ),
+            self._build_interface_sync(u_stagger, v_stagger, comp=0),
+            self._build_interface_sync(u_stagger, v_stagger, comp=1),
         )
 
     def _build_interface_sync(self, u_stagger, v_stagger, comp: int) -> HaloSpec:

@@ -293,51 +293,6 @@ class TestInterfaceSync:
         np.testing.assert_allclose(np.asarray(vs), np.asarray(vs2))
 
 
-def test_packed_halo_equivalence():
-    """The packed (strip-scatter) halo form must match the full gather
-    bitwise for every spec kind (see docs/KNOWN_ISSUES.md)."""
-    import dataclasses
-
-    import jax.numpy as jnp
-    import numpy as np
-
-    from pace_tpu.parallel import halo as halo_mod
-    from pace_tpu.parallel.topology import get_topology
-
-    topo = get_topology(12, 3)
-    N = 24
-    rng = np.random.RandomState(0)
-    q = jnp.asarray(rng.randn(6, N, N, 4))
-    u = jnp.asarray(rng.randn(6, N, N, 4))
-    v = jnp.asarray(rng.randn(6, N, N, 4))
-
-    def unpack(spec):
-        return dataclasses.replace(spec, packed=None)
-
-    from pace_tpu.parallel import copyops
-
-    old = copyops.HALO_MODE
-    try:
-        for stag in ("center", "corner"):
-            spec = topo.scalar_spec(stag)
-            copyops.HALO_MODE = "packed"
-            a = halo_mod.halo_update_scalar(q, spec)
-            copyops.HALO_MODE = "gather"
-            b = halo_mod.halo_update_scalar(q, unpack(spec))
-            assert float(jnp.abs(a - b).max()) == 0.0, stag
-        for stags in (("y_iface", "x_iface"), ("x_iface", "y_iface"),
-                      ("center", "center")):
-            us, vs = topo.vector_spec(*stags)
-            for spec in (us, vs):
-                copyops.HALO_MODE = "packed"
-                a = halo_mod._vector_gather(u, v, spec)
-                copyops.HALO_MODE = "gather"
-                b = halo_mod._vector_gather(u, v, unpack(spec))
-                assert float(jnp.abs(a - b).max()) == 0.0, stags
-    finally:
-        copyops.HALO_MODE = old
-
-
 def test_structured_halo_equivalence(topo):
     """The CopyOp (PACE_HALO=ppermute) decomposition is bitwise equal to
     the gather form for every spec kind — the multi-chip halo lowering
