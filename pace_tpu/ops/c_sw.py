@@ -5,8 +5,8 @@ jnp port of ai2cm/pace fv3core/pace/fv3core/stencils/c_sw.py
 C-grid) by half a timestep to provide advective fluxes for the D-grid step.
 
 Written against the injected stencil-ops namespace
-(ops/pallas/tile_stencil.py) so the same math runs globally under XLA and
-inside row-chunked Pallas kernels (ops/pallas/c_sw_pallas.py).
+(ops/stencil_utils.py GlobalOps); a row-chunked Pallas twin was
+measured on-chip and deleted (docs/KNOWN_ISSUES.md "c_sw Pallas").
 """
 
 from __future__ import annotations
@@ -16,7 +16,7 @@ from types import SimpleNamespace
 import jax.numpy as jnp
 
 from pace_tpu.ops.d2a2c import d2a2c_core, metrics_namespace
-from pace_tpu.ops.pallas.tile_stencil import GlobalOps
+from pace_tpu.ops.stencil_utils import GlobalOps
 
 _GLOBAL = GlobalOps()
 
@@ -225,10 +225,5 @@ def c_sw(delp, pt, u, v, w, omga_unused, gd, n, h, dt2, nord):
     delp_f, pt_f, w_f) where *_f are the inputs with cube-corner wedges
     filled (the reference updates them in place).
     """
-    from pace_tpu.ops.pallas import c_sw_pallas
-
-    if c_sw_pallas.enabled():
-        return c_sw_pallas.c_sw_fused(delp, pt, u, v, w, gd, n, h, dt2,
-                                      nord)
     return c_sw_core(_GLOBAL, delp, pt, u, v, w, c_sw_metrics(gd), n, h,
                      dt2, nord)

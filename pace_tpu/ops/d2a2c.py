@@ -7,7 +7,7 @@ interfaces with volume-conserving cubics and 4-pt extrapolation at tile
 edges.  Cube-corner wedges are filled with the rotated companion component.
 
 The math is written against an injected stencil-ops namespace
-(ops/pallas/tile_stencil.py) so the identical code runs on global
+(ops/stencil_utils.py GlobalOps) so the identical code runs on global
 (6, N, N, nz) arrays under XLA and on VMEM-resident row-chunk blocks
 inside Pallas kernels.
 """
@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from pace_tpu.ops.a2b_ord4 import A1, A2
-from pace_tpu.ops.pallas.tile_stencil import GlobalOps
+from pace_tpu.ops.stencil_utils import GlobalOps
 
 C1 = -2.0 / 14.0
 C2 = 11.0 / 14.0

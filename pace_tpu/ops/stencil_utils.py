@@ -127,3 +127,40 @@ def dim(a, b):
 
 def absolute_value(a):
     return jnp.abs(a)
+
+
+class GlobalOps:
+    """Stencil ops namespace over global (6, N, N[, nz]) arrays.
+
+    c_sw/d2a2c write their stencil math against this injected namespace
+    (a holdover from the rejected row-chunked Pallas harness, whose
+    BlockOps twin was deleted after failing Mosaic compile on-chip —
+    see docs/KNOWN_ISSUES.md).  It survives because it keeps those ops'
+    bodies parameterized over the update primitives, which the
+    translate-test harness also exploits.
+    """
+
+    def shift(self, q, di=0, dj=0):
+        return shift(q, di, dj)
+
+    def upd_cols(self, dest, expr, *cols):
+        return upd_cols(dest, expr, *cols)
+
+    def upd_rows(self, dest, expr, *rows):
+        return upd_rows(dest, expr, *rows)
+
+    def upd_point(self, dest, expr, i, j):
+        return upd_point(dest, expr, i, j)
+
+    def set_region(self, dest, sx, sy, expr):
+        return set_region(dest, sx, sy, expr)
+
+    def fill_corners_cells(self, q, q_corner, n, h, direction, ncells,
+                           mults=(1.0, 1.0, 1.0, 1.0)):
+        from pace_tpu.ops import corners as corner_ops
+
+        return corner_ops.fill_corners_cells(
+            q, q_corner, n, h, direction, ncells,
+            sw_mult=mults[0], se_mult=mults[1], nw_mult=mults[2],
+            ne_mult=mults[3],
+        )

@@ -20,7 +20,5 @@ run sim1        PACE_PALLAS_SIM1=1
 run spline      PACE_PALLAS_SPLINE=1
 run fused_dsw   PACE_FUSED_DSW=1
 run fillz       PACE_PALLAS_FILLZ=1
-run csw         PACE_PALLAS_CSW=1
-run all         PACE_PALLAS_SIM1=1 PACE_PALLAS_SPLINE=1 PACE_FUSED_DSW=1 \
-                PACE_PALLAS_FILLZ=1 PACE_PALLAS_CSW=1
+run all         PACE_PALLAS_SIM1=1 PACE_PALLAS_SPLINE=1 PACE_FUSED_DSW=1 PACE_PALLAS_FILLZ=1
 cat "$OUT"
