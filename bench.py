@@ -59,10 +59,17 @@ def main():
     # advective CFL: halve the step when the grid spacing halves
     # (C48 -> 450 s, C96 -> 225 s — the ledger's C96 configuration)
     dt_atmos = 450.0 * (48.0 / n)
+    # acoustic load is configurable so the production-configured line
+    # (k_split=2, n_split=6 — the TC C48 / SHiELD C96 settings,
+    # examples/configs/tropical_cyclone_c48.yaml) can be benchmarked
+    # alongside the default light config (VERDICT r3 weak #5):
+    #   PACE_BENCH_KSPLIT=2 PACE_BENCH_NSPLIT=6 python bench.py
+    k_split = int(os.environ.get("PACE_BENCH_KSPLIT", "1"))
+    n_split = int(os.environ.get("PACE_BENCH_NSPLIT", "2"))
     sizing = GridSizing(n, nz)
     grid_data = generate_grid_data(n, nz, dtype=jnp.float32)
     config = DynamicalCoreConfig(
-        do_sat_adj=coupled, k_split=1, n_split=2
+        do_sat_adj=coupled, k_split=k_split, n_split=n_split
     )
     core = DynamicalCore(config, sizing, grid_data, timestep=dt_atmos)
     state = init_baroclinic_state(sizing, dtype=jnp.float32)
@@ -148,6 +155,8 @@ def main():
     assert bool(jnp.isfinite(interior).all()), "NaN in benchmark state"
 
     tag = f"c{n}_coupled" if coupled else f"c{n}"
+    if (k_split, n_split) != (1, 2):
+        tag += f"_k{k_split}n{n_split}"
     print(json.dumps({
         "metric": f"{tag}_simulated_days_per_day",
         "value": round(simulated_days_per_day, 2),

@@ -134,15 +134,21 @@ def _k3_outer_y(qax_ref, fyin_ref, cry_ref, ymf_ref, dya_ref,
 
 
 def fused_dsw_enabled(dtype=None) -> bool:
-    """The d_sw five-field fused transport (transport_batched_means) is
-    default ON wherever the Pallas transport is on (PACE_FUSED_DSW=0
-    disables): the on-chip flag matrix (2026-08-19, C48/79 f32, 10-step
-    mean) measured 112.79 ms/step vs 115.56 baseline with digests
-    matching at f32 rounding level."""
+    """The d_sw five-field fused transport (transport_batched_means):
+    **default OFF since round 4** — on the chip it corrupts the d_sw
+    u/v outputs at acoustic substep 4 of configs with n_split >= 4
+    (C24 dt=300 n4 and the production C48 k2/n6 both NaN within 4
+    steps; per-op probes show the ONLY divergence vs the unfused path
+    is d_sw's u/v at substep 4, fed by the batched vorticity mean —
+    batch index 4 of 5).  Substeps 1-3 and the n_split=2 bench config
+    are bit-clean, which is why the 2026-08-19 flag matrix (10-step
+    C48 k1/n2: 112.79 vs 115.56 ms/step, digests matching) missed it.
+    See docs/KNOWN_ISSUES.md "fused d_sw five-field transport".
+    PACE_FUSED_DSW=1 re-enables for kernel debugging ONLY."""
     env = os.environ.get("PACE_FUSED_DSW")
     if env is not None:
         return env == "1" and enabled(dtype)
-    return enabled(dtype)
+    return False
 
 
 def _k2_x_means(qay_ref, q_x_ref, crx_ref, xfx_ref, dxa_ref,
