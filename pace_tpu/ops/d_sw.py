@@ -162,8 +162,16 @@ def d_sw(
         cat_x = corner_ops.copy_corners(cat_y, n, h, "x")
         qy5 = jnp.split(cat_y, 5, -1)
         qx5 = jnp.split(cat_x, 5, -1)
-        mean_x, mean_y = fvtp2d_pallas.transport_batched_means(
+        # unit-flux = ones turns transport_batched's fluxes into the raw
+        # PPM means — the SAME proven kernels the tracer path runs at
+        # T=8 (the dedicated means kernels corrupted u/v on-chip at
+        # n_split >= 4; see KNOWN_ISSUES "fused d_sw five-field
+        # transport" — this formulation is the candidate fix, still
+        # opt-in until the flag-matrix canaries pass)
+        ones = jnp.ones_like(crx)
+        mean_x, mean_y = fvtp2d_pallas.transport_batched(
             jnp.stack(qy5), jnp.stack(qx5), crx, cry, xfx, yfx,
+            ones, ones,
             hz.dxa, hz.dya, hz.area, n, h, config.hord_dp,
             interpret=fvtp2d_pallas.INTERPRET,
         )

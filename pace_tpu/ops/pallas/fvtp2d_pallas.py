@@ -134,7 +134,8 @@ def _k3_outer_y(qax_ref, fyin_ref, cry_ref, ymf_ref, dya_ref,
 
 
 def fused_dsw_enabled(dtype=None) -> bool:
-    """The d_sw five-field fused transport (transport_batched_means):
+    """The d_sw five-field fused transport (all-ones-unit-flux
+    transport_batched means):
     **default OFF since round 4** — on the chip it corrupts the d_sw
     u/v outputs at acoustic substep 4 of configs with n_split >= 4
     (C24 dt=300 n4 and the production C48 k2/n6 both NaN within 4
@@ -149,39 +150,6 @@ def fused_dsw_enabled(dtype=None) -> bool:
     if env is not None:
         return env == "1" and enabled(dtype)
     return False
-
-
-def _k2_x_means(qay_ref, q_x_ref, crx_ref, xfx_ref, dxa_ref,
-                area_ref, mx_ref, qax_ref, *, n, h, ord_inner, ord_outer):
-    """K2 variant returning the UNmultiplied x-flux mean: the caller
-    applies the per-field unit flux (area or mass) in XLA, which lets
-    fields with different unit fluxes share one batched kernel call."""
-    sh, upd = _block_ops(0)
-    qay = qay_ref[0, 0]
-    q_x = q_x_ref[0, 0]
-    crx = crx_ref[0]
-    xfx = xfx_ref[0]
-    dxa = dxa_ref[0]
-    area = area_ref[0]
-    fx_in = xppm._flux_core(q_x, crx, dxa, n, h, ord_inner, sh, upd)
-    mean1 = xppm._flux_core(qay, crx, dxa, n, h, ord_outer, sh, upd)
-    mx_ref[0, 0] = 0.5 * (mean1 + fx_in)
-    fx1 = xfx * fx_in
-    qax_ref[0, 0] = (q_x * area + fx1 - sh(fx1, 1)) / (
-        area + xfx - sh(xfx, 1)
-    )
-
-
-def _k3_y_means(qax_ref, fyin_ref, cry_ref, dya_ref, my_ref,
-                *, n, h, ord_outer):
-    """K3 variant returning the UNmultiplied y-flux mean."""
-    sh, upd = _block_ops(1)
-    qax = qax_ref[0, 0]
-    fy_in = fyin_ref[0, 0]
-    cry = cry_ref[0]
-    dya = dya_ref[0]
-    mean2 = xppm._flux_core(qax, cry, dya, n, h, ord_outer, sh, upd)
-    my_ref[0, 0] = 0.5 * (mean2 + fy_in)
 
 
 def _chunk(N: int) -> int:
@@ -211,7 +179,7 @@ def _m4(t, c, a):
 
 def _run_k1(q_y, cry, yfx, dya, area, *, n, h, ord_inner, interpret):
     """K1 stage (shifts along y; chunk x), shared by transport_batched
-    and transport_batched_means: y-inner PPM -> (q_advected_y, fy_in)."""
+    (formerly also the deleted means variants): y-inner PPM -> (q_advected_y, fy_in)."""
     T, nt, N, _, nz = q_y.shape
     XB = _chunk(N)
     g1 = (nt, N // XB, T)
@@ -322,88 +290,3 @@ def transport_batched(
     )(qax, fy_in, cry, ymf, dya)
 
     return fx, fy
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("n", "h", "hord", "interpret"),
-)
-def transport_batched_means(
-    q_y, q_x, crx, cry, xfx, yfx, dxa, dya, area,
-    n: int, h: int, hord: int, interpret: bool = False,
-):
-    """Batched fv_tp_2d flux MEANS for stacked fields.
-
-    Identical to transport_batched except the final per-field unit-flux
-    multiplication (x_mass_flux / x_area_flux, fvtp2d.py:82-87) is left
-    to the caller: fx = mean_x * unit_x, fy = mean_y * unit_y.  Because
-    the unit flux is the ONLY per-field difference between a mass-flux
-    and an area-flux transport, this lets d_sw's five transports (delp,
-    w, q_con, pt, vorticity — ai2cm/pace fv3core stencils/d_sw.py:935-
-    1237) share one batched kernel call even though delp/vorticity are
-    area-flux transports and w/q_con/pt are mass-flux transports.
-
-    Returns:
-        (mean_x, mean_y): (T, 6, N, N, nz) unmultiplied flux means.
-    """
-    T, nt, N, _, nz = q_y.shape
-    dxa = dxa[..., None]
-    dya = dya[..., None]
-    area = area[..., None]
-    ord_outer = hord
-    ord_inner = 8 if hord == 10 else hord
-    XB = _chunk(N)
-    dt = q_y.dtype
-
-    # ---- K1: identical kernel/specs to transport_batched ------------------
-    g1 = (nt, N // XB, T)
-    m5, m4 = _m5, _m4
-    qay, fy_in = _run_k1(q_y, cry, yfx, dya, area, n=n, h=h,
-                         ord_inner=ord_inner, interpret=interpret)
-
-    # ---- K2 (means): no xmf input, unmultiplied mean out -------------------
-    YB = _ychunk(N)
-    nyc = N // YB
-    g2 = (nt, nyc, T)
-    m5y = lambda t, c, a: (a, t, 0, c, 0)
-    m4y = lambda t, c, a: (t, 0, c, 0)
-    mean_x, qax = pl.pallas_call(
-        functools.partial(_k2_x_means, n=n, h=h, ord_inner=ord_inner,
-                          ord_outer=ord_outer),
-        grid=g2,
-        in_specs=[
-            pl.BlockSpec((1, 1, N, YB, nz), m5y, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N, YB, nz), m5y, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, YB, nz), m4y, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, YB, nz), m4y, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, YB, 1), m4y, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, YB, 1), m4y, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, N, YB, nz), m5y, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N, YB, nz), m5y, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(q_y.shape, dt),
-            jax.ShapeDtypeStruct(q_y.shape, dt),
-        ],
-        interpret=interpret,
-    )(qay, q_x, crx, xfx, dxa, area)
-
-    # ---- K3 (means): no ymf input, unmultiplied mean out -------------------
-    mean_y = pl.pallas_call(
-        functools.partial(_k3_y_means, n=n, h=h, ord_outer=ord_outer),
-        grid=g1,
-        in_specs=[
-            pl.BlockSpec((1, 1, XB, N, nz), m5, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, XB, N, nz), m5, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, XB, N, nz), m4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, XB, N, 1), m4, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, XB, N, nz), m5,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(q_y.shape, dt),
-        interpret=interpret,
-    )(qax, fy_in, cry, dya)
-
-    return mean_x, mean_y

@@ -2,7 +2,7 @@
 
 PACE_FUSED_DSW=1 routes d_sw's delp/w/q_con/pt/vorticity transports
 through ONE batched Pallas means-kernel call (the per-field unit-flux
-multiply applied in XLA, ops/pallas/fvtp2d_pallas.transport_batched_means);
+multiply applied in XLA over all-ones-unit-flux transport_batched means);
 here it runs in interpret mode on CPU and the full d_sw output dict is
 pinned against the all-jnp default path (reference op: ai2cm/pace
 fv3core/pace/fv3core/stencils/d_sw.py:935-1237).

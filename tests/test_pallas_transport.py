@@ -86,14 +86,20 @@ def test_transport_batched_matches_jnp(transport_inputs, hord):
 
 @pytest.mark.parametrize("hord", [6, 8])
 def test_transport_batched_means_matches_jnp(transport_inputs, hord):
-    """The unit-flux-deferred kernel (d_sw's five-field fused transport):
-    mean * unit_flux must equal the jnp fv_tp_2d for BOTH flux kinds —
-    mass-flux (w/q_con/pt) and area-flux (delp/vorticity) transports."""
+    """Unit-flux-deferred form (d_sw's five-field fused transport):
+    transport_batched with all-ones unit fluxes yields the raw PPM
+    means, and mean * unit_flux must equal the jnp fv_tp_2d for BOTH
+    flux kinds — mass-flux (w/q_con/pt) and area-flux (delp/vorticity)
+    transports.  (The dedicated means kernels this replaced corrupted
+    d_sw u/v on-chip; KNOWN_ISSUES "fused d_sw five-field transport".)"""
     gd, qy8, qx8, crx, cry, xfx, yfx, xmf, ymf = transport_inputs
     hz = gd.horizontal
 
-    mean_x, mean_y = fvtp2d_pallas.transport_batched_means(
-        qy8, qx8, crx, cry, xfx, yfx,
+    import jax.numpy as jnp
+
+    ones = jnp.ones_like(crx)
+    mean_x, mean_y = fvtp2d_pallas.transport_batched(
+        qy8, qx8, crx, cry, xfx, yfx, ones, ones,
         hz.dxa, hz.dya, hz.area, N_, H, hord, interpret=True,
     )
 
