@@ -28,38 +28,44 @@ def shift(q: jnp.ndarray, di: int = 0, dj: int = 0, dk: int = 0) -> jnp.ndarray:
     return out
 
 
-# Fixed shift halo: every _shift_axis pads by the SAME (_H, _H) config so
-# all shifts of one array along one axis share ONE pad instruction under
-# HLO CSE.  The per-call slice+pad form created a distinct pad per (d,
-# axis) which the TPU fusion pass materialized separately -- the single
-# largest top-level HBM byte line in the C12 census (1.16 GB of 50.6 GB,
-# scripts/hlo_copies.py).  Shared-pad + fused-slice keeps at most one
-# materialization per (array, axis) chain.  Must cover the largest |d|
-# used anywhere (currently 4: a2b_ord4 extrapolation rows).
+# Largest |d| used anywhere (currently 4: a2b_ord4 extrapolation rows).
 _H = 4
 
 
 def _shift_axis(q, d, axis):
     """Shifted view padded with ZEROS at the array bounds.
 
-    out[i] = q[i+d] in bounds, 0 outside.  Implemented as a fixed
-    (_H, _H) zero-pad of the whole axis followed by a static slice:
-    identical pad configs CSE into one shared instruction, and slices
-    fuse into consumer loops on TPU.  The pad value is only ever visible
-    in the outermost storage rows, which no stencil output region
-    consumes (see module docstring); it is 0 rather than edge-replicated,
-    so those never-consumed cells may hold 0/0 NaNs -- by design they
-    already hold arbitrary values."""
+    out[i] = q[i+d] in bounds, 0 outside: slice then lax.pad, one pad
+    per call.  The pad value is only ever visible in the outermost
+    storage rows, which no stencil output region consumes (see module
+    docstring); it is 0 rather than edge-replicated, so those
+    never-consumed cells may hold 0/0 NaNs -- by design they already
+    hold arbitrary values.
+
+    HISTORY (do not re-land without the on-chip sweep): round 3 replaced
+    this with a shared fixed (4,4) pad + window slice so all shifts of
+    one array CSE into one pad (a ~5 ms/step C48 win on the HLO byte
+    census).  That form MISCOMPILES on the TPU backend: the n_split>=4
+    and scan-vertical-solver (PACE_PALLAS_SIM1=0) configurations NaN
+    within steps, and the spline kernel combo crashes XLA's
+    fusion_emitter ("window_bounds == strides (79 vs 160)").  Bisected
+    on-chip to exactly that commit (43b2ae4; f9309b0 finite, 43b2ae4
+    nonfinite, per-op probes + KNOWN_ISSUES "shared-pad shift").  CPU
+    and per-op numerics were bit-identical -- only whole-program TPU
+    fusion breaks."""
     from jax import lax
 
     if abs(d) > _H:
         raise ValueError(f"shift offset {d} exceeds fixed halo {_H}")
     cfg = [(0, 0, 0)] * q.ndim
-    cfg[axis] = (_H, _H, 0)
-    padded = lax.pad(q, jnp.zeros((), q.dtype), cfg)
     idx = [slice(None)] * q.ndim
-    idx[axis] = slice(_H + d, _H + d + q.shape[axis])
-    return padded[tuple(idx)]
+    if d > 0:
+        idx[axis] = slice(d, None)
+        cfg[axis] = (0, d, 0)
+    else:
+        idx[axis] = slice(None, d)
+        cfg[axis] = (-d, 0, 0)
+    return lax.pad(q[tuple(idx)], jnp.zeros((), q.dtype), cfg)
 
 
 def _axis_mask(dest: jnp.ndarray, axis: int, idxs) -> jnp.ndarray:
