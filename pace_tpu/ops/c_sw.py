@@ -152,6 +152,23 @@ def c_sw_part2(ops, delp, pt, w, u, v, uc, vc, ua, va, ut, vt, m, n, h,
     ke = 0.5 * dt2 * (ua * ke + va * vort)
 
     # C-grid circulation -> absolute vorticity at corners
+    vort_c = circulation_cgrid_core(ops, uc, vc, m, n, h)
+    vort_c = m.fC[..., None] + m.rarea_c[..., None] * vort_c
+
+    # update C-grid winds
+    uc, vc = vorticity_transport_cgrid_core(
+        ops, uc, vc, vort_c, ke, u, v, m, n, h, dt2
+    )
+
+    return delpc, ptc, uc, vc, ut, vt, omga, delp, pt, w
+
+
+def circulation_cgrid_core(ops, uc, vc, m, n, h):
+    """Raw C-grid circulation at cell corners (reference c_sw.py
+    circulation_cgrid:367-408: fx/fy line integrals with the corner
+    one-sided variants; absolute vorticity -- fC + rarea_c * this -- is
+    applied by the caller)."""
+    sh = ops.shift
     dxc = m.dxc[..., None]
     dyc = m.dyc[..., None]
     fxc = dxc * uc
@@ -163,9 +180,16 @@ def c_sw_part2(ops, delp, pt, w, u, v, uc, vc, ua, va, ut, vt, m, n, h,
     no_fy = sh(fxc, 0, -1) - fxc - sh(fyc, -1)
     for ci, cj in ((h + n, h), (h + n, h + n)):
         vort_c = ops.upd_point(vort_c, no_fy, ci, cj)
-    vort_c = m.fC[..., None] + m.rarea_c[..., None] * vort_c
+    return vort_c
 
-    # update C-grid winds
+
+def vorticity_transport_cgrid_core(ops, uc, vc, vort_c, ke, u, v, m, n, h,
+                                   dt2):
+    """C-grid wind update from the absolute-vorticity flux and the KE
+    gradient (reference c_sw.py update_x_velocity:411 /
+    update_y_velocity:445, called at c_sw.py:758-776).  Returns
+    (uc_new, vc_new)."""
+    sh = ops.shift
     cosa_v = m.cosa_v[..., None]
     sina_v = m.sina_v[..., None]
     cosa_u = m.cosa_u[..., None]
@@ -186,8 +210,7 @@ def c_sw_part2(ops, delp, pt, w, u, v, uc, vc, ua, va, ut, vt, m, n, h,
         tmp_flux = ops.upd_cols(tmp_flux, edge, i)
     flux = jnp.where(tmp_flux > 0.0, vort_c, sh(vort_c, 0, 1))
     uc = uc + tmp_flux * flux + rdxc * (sh(ke, -1) - ke)
-
-    return delpc, ptc, uc, vc, ut, vt, omga, delp, pt, w
+    return uc, vc
 
 
 def c_sw_core(ops, delp, pt, u, v, w, m, n, h, dt2, nord):

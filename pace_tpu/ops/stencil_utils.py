@@ -52,7 +52,13 @@ def _shift_axis(q, d, axis):
     on-chip to exactly that commit (43b2ae4; f9309b0 finite, 43b2ae4
     nonfinite, per-op probes + KNOWN_ISSUES "shared-pad shift").  CPU
     and per-op numerics were bit-identical -- only whole-program TPU
-    fusion breaks."""
+    fusion breaks.
+
+    Round 5 also measured a jnp.roll (slice+slice+concat) lowering on
+    the chip: finite and digest-identical, but SLOWER everywhere
+    (C48 k1/n2 101.2 vs 100.5 ms; k2/n6 375.8 vs 364.2 ms) -- the
+    concats materialize just like the pads and add the wrap-copy
+    bytes.  Deleted per the win-or-delete rule; do not re-try."""
     from jax import lax
 
     if abs(d) > _H:

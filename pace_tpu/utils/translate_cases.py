@@ -505,11 +505,12 @@ class TranslateTracer2D1L(BaseOpCase):
         return result
 
 
-@register("FillZ")
+@register("Fillz")
 class TranslateFillZ(BaseOpCase):
-    """reference translate_fillz.py TranslateFillz: j-collapsed (i, k)
-    blocks (dp2) and (i, k, nq) tracers; max_error 1e-13, near-zero
-    errors ignored for the tracers."""
+    """reference translate_fillz.py TranslateFillz (savepoint name
+    "Fillz", translate_fillz.py:12): j-collapsed (i, k) blocks (dp2) and
+    (i, k, nq) tracers; max_error 1e-13, near-zero errors ignored for
+    the tracers."""
 
     max_error = 1e-13
     ignore_near_zero_errors = ("q2tracers",)
@@ -1883,3 +1884,488 @@ class TranslateFVSubgridZ(BaseOpCase, _TracersMixin):
         for name in self.out_vars:
             result.setdefault(name, np.asarray(inputs[name]))
         return result
+
+
+# ---------------------------------------------------------------------------
+# round-5 registry completion: the c_sw/d_sw sub-stage classes, the
+# XPPM_2/FvTp2d_2 variants, and the DynCore acoustic-step savepoint
+# (VERDICT r4 next #3)
+# ---------------------------------------------------------------------------
+
+
+@register("DivergenceCorner")
+class TranslateDivergenceCorner(BaseOpCase):
+    """reference translate_c_sw.py TranslateDivergenceCorner (:116):
+    u/v/ua/va -> divg_d on cell corners; max_error 9e-10."""
+
+    max_error = 9e-10
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "u": VarSpec(), "v": VarSpec(), "ua": VarSpec(),
+            "va": VarSpec(), "divg_d": VarSpec(),
+        }
+        self.out_vars = {"divg_d": VarSpec()}
+        self.stagger = {"u": (0, 1), "v": (1, 0), "divg_d": (1, 1)}
+
+    def make_inputs(self, s0, s1, gd):
+        return {
+            "u": s1["u"], "v": s1["v"], "ua": s1["ua"], "va": s1["va"],
+            "divg_d": np.zeros_like(s1["pt"]),
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.c_sw import divergence_corner
+
+        divg_d = divergence_corner(
+            jnp.asarray(inputs["u"]), jnp.asarray(inputs["v"]),
+            jnp.asarray(inputs["ua"]), jnp.asarray(inputs["va"]),
+            self.gd, self.n, self.h,
+        )
+        return {"divg_d": np.asarray(divg_d)}
+
+
+@register("Circulation_Cgrid")
+class TranslateCirculationCgrid(BaseOpCase):
+    """reference translate_c_sw.py TranslateCirculation_Cgrid (:174):
+    uc/vc -> raw corner circulation vort_c (is_-1..ie+1 block);
+    max_error 5e-9."""
+
+    max_error = 5e-9
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {
+            "uc": VarSpec(), "vc": VarSpec(),
+            "vort_c": VarSpec(istart=h - 1, jstart=h - 1),
+        }
+        self.out_vars = {"vort_c": VarSpec(istart=h - 1, jstart=h - 1)}
+        # vort_c block spans is_-1 .. ie+1 = nsub + 3 points
+        self.stagger = {"uc": (1, 0), "vc": (0, 1), "vort_c": (3, 3)}
+
+    def make_inputs(self, s0, s1, gd):
+        return {"uc": s1["uc"], "vc": s1["vc"],
+                "vort_c": np.zeros_like(s1["pt"])}
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.c_sw import (
+            _GLOBAL,
+            c_sw_metrics,
+            circulation_cgrid_core,
+        )
+
+        vort_c = circulation_cgrid_core(
+            _GLOBAL, jnp.asarray(inputs["uc"]),
+            jnp.asarray(inputs["vc"]), c_sw_metrics(self.gd),
+            self.n, self.h,
+        )
+        return {"vort_c": np.asarray(vort_c)}
+
+
+@register("VorticityTransport_Cgrid")
+class TranslateVorticityTransportCgrid(BaseOpCase):
+    """reference translate_c_sw.py TranslateVorticityTransport_Cgrid
+    (:216): uc/vc updated from vort_c, ke_c, and the D-grid winds."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {
+            "uc": VarSpec(), "vc": VarSpec(),
+            "vort_c": VarSpec(istart=h - 1, jstart=h - 1),
+            "ke_c": VarSpec(istart=h - 1, jstart=h - 1),
+            "u": VarSpec(), "v": VarSpec(),
+            "dt2": VarSpec(),
+        }
+        self.out_vars = {
+            "uc": VarSpec(istart=h, jstart=h),
+            "vc": VarSpec(istart=h, jstart=h),
+        }
+        self.stagger = {"vort_c": (3, 3), "ke_c": (3, 3),
+                        "uc": (1, 0), "vc": (0, 1),
+                        "u": (0, 1), "v": (1, 0)}
+
+    def make_inputs(self, s0, s1, gd):
+        fC = np.asarray(gd.horizontal.fC)[..., None]
+        rac = np.asarray(gd.horizontal.rarea_c)[..., None]
+        return {
+            "uc": s1["uc"], "vc": s1["vc"],
+            "vort_c": fC + rac * smooth_field(s1["pt"].shape, 51, 1e5),
+            "ke_c": smooth_field(s1["pt"].shape, 52, 1e2),
+            "u": s1["u"], "v": s1["v"], "dt2": 112.5,
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.c_sw import (
+            _GLOBAL,
+            c_sw_metrics,
+            vorticity_transport_cgrid_core,
+        )
+
+        uc, vc = vorticity_transport_cgrid_core(
+            _GLOBAL, jnp.asarray(inputs["uc"]),
+            jnp.asarray(inputs["vc"]), jnp.asarray(inputs["vort_c"]),
+            jnp.asarray(inputs["ke_c"]), jnp.asarray(inputs["u"]),
+            jnp.asarray(inputs["v"]), c_sw_metrics(self.gd),
+            self.n, self.h, float(inputs["dt2"]),
+        )
+        return {"uc": np.asarray(uc), "vc": np.asarray(vc)}
+
+
+class _BKECase(BaseOpCase):
+    """Shared shape for UbKE/VbKE (reference translate_d_sw.py:84,131):
+    C-grid winds + advective wind -> B-grid (corner) contravariant wind
+    times 2*dt5, on the compute+1 corner block."""
+
+    wind_out = "ub"  # "ub" or "vb"
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        adv = "ut" if self.wind_out == "ub" else "vt"
+        self.in_vars = {
+            "uc": VarSpec(), "vc": VarSpec(), adv: VarSpec(),
+            self.wind_out: VarSpec(istart=h, jstart=h),
+            "dt5": VarSpec(), "dt4": VarSpec(),
+        }
+        self.out_vars = {self.wind_out: VarSpec(istart=h, jstart=h)}
+        self.stagger = {"uc": (1, 0), "vc": (0, 1),
+                        self.wind_out: (1, 1)}
+
+    def make_inputs(self, s0, s1, gd):
+        adv = "ut" if self.wind_out == "ub" else "vt"
+        return {
+            "uc": s1["uc"], "vc": s1["vc"],
+            adv: smooth_field(s1["pt"].shape, 53, 10.0),
+            self.wind_out: np.zeros_like(s1["pt"]),
+            "dt5": 56.25, "dt4": 28.125,
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.d_sw import _interpolate_uc_vc_to_corners
+
+        adv = "ut" if self.wind_out == "ub" else "vt"
+        t = jnp.asarray(inputs[adv])
+        # the reference stencil passes the same advective wind for both
+        # slots (translate_d_sw.py ubke/vbke call
+        # interpolate_uc_vc_to_cell_corners(uc, vc, ..., ut, ut))
+        ub_c, vb_c = _interpolate_uc_vc_to_corners(
+            jnp.asarray(inputs["uc"]), jnp.asarray(inputs["vc"]),
+            t, t, self.gd, self.n, self.h,
+        )
+        out = ub_c if self.wind_out == "ub" else vb_c
+        return {self.wind_out: np.asarray(out * (2.0 * float(inputs["dt5"])))}
+
+
+@register("UbKE")
+class TranslateUbKE(_BKECase):
+    wind_out = "ub"
+
+
+@register("VbKE")
+class TranslateVbKE(_BKECase):
+    wind_out = "vb"
+
+
+@register("FluxCapacitor")
+class TranslateFluxCapacitor(BaseOpCase):
+    """reference translate_d_sw.py TranslateFluxCapacitor (:162):
+    accumulate courant numbers and mass fluxes (d_sw.py flux_capacitor
+    stencil :33-60)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {
+            "cx": VarSpec(istart=h), "cy": VarSpec(jstart=h),
+            "xflux": VarSpec(istart=h, jstart=h),
+            "yflux": VarSpec(istart=h, jstart=h),
+            "crx_adv": VarSpec(istart=h), "cry_adv": VarSpec(jstart=h),
+            "fx": VarSpec(istart=h, jstart=h),
+            "fy": VarSpec(istart=h, jstart=h),
+        }
+        self.out_vars = {name: self.in_vars[name]
+                         for name in ("cx", "cy", "xflux", "yflux")}
+        self.stagger = {"cx": (1, 0), "crx_adv": (1, 0),
+                        "xflux": (1, 0), "fx": (1, 0),
+                        "cy": (0, 1), "cry_adv": (0, 1),
+                        "yflux": (0, 1), "fy": (0, 1)}
+
+    def make_inputs(self, s0, s1, gd):
+        shape3 = s1["pt"].shape
+        return {
+            "cx": s1["cxd"], "cy": s1["cyd"], "xflux": s1["mfxd"],
+            "yflux": s1["mfyd"],
+            "crx_adv": smooth_field(shape3, 54, 0.2),
+            "cry_adv": smooth_field(shape3, 55, 0.2),
+            "fx": smooth_field(shape3, 56, 1e9),
+            "fy": smooth_field(shape3, 57, 1e9),
+        }
+
+    def compute(self, inputs):
+        return {
+            "cx": np.asarray(inputs["cx"]) + np.asarray(inputs["crx_adv"]),
+            "cy": np.asarray(inputs["cy"]) + np.asarray(inputs["cry_adv"]),
+            "xflux": np.asarray(inputs["xflux"]) + np.asarray(inputs["fx"]),
+            "yflux": np.asarray(inputs["yflux"]) + np.asarray(inputs["fy"]),
+        }
+
+
+@register("HeatDiss")
+class TranslateHeatDiss(BaseOpCase):
+    """reference translate_d_sw.py TranslateHeatDiss (:191): heating from
+    vertical-wind damping (d_sw.py heat_diss :63; the damp_w/ke_bg
+    columns come from the column namelist, not the savepoint)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {
+            "fx2": VarSpec(), "fy2": VarSpec(), "w": VarSpec(),
+            "dw": VarSpec(), "heat_source": VarSpec(),
+            "diss_est": VarSpec(),
+        }
+        self.out_vars = {
+            "heat_source": VarSpec(istart=h, jstart=h),
+            "diss_est": VarSpec(istart=h, jstart=h),
+            "dw": VarSpec(istart=h, jstart=h),
+        }
+
+    def make_inputs(self, s0, s1, gd):
+        shape3 = s1["pt"].shape
+        return {
+            "fx2": smooth_field(shape3, 58, 1e2),
+            "fy2": smooth_field(shape3, 59, 1e2),
+            "w": s1["w"], "dw": np.zeros(shape3),
+            "heat_source": np.zeros(shape3),
+            "diss_est": np.zeros(shape3),
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        col = get_column_namelist(self.config, self.sizing.nz)
+        dt = 450.0 / self.config.k_split / self.config.n_split
+        rarea = jnp.asarray(self.gd.horizontal.rarea)[..., None]
+        fx2 = jnp.asarray(inputs["fx2"])
+        fy2 = jnp.asarray(inputs["fy2"])
+        w = jnp.asarray(inputs["w"])
+        from pace_tpu.ops.stencil_utils import shift
+
+        damp_mask = jnp.asarray(col["damp_w"] > 1e-5).reshape(1, 1, 1, -1)
+        ke_bg_k = jnp.asarray(col["ke_bg"]).reshape(1, 1, 1, -1)
+        dd8 = ke_bg_k * abs(dt)
+        dw = jnp.where(
+            damp_mask,
+            (fx2 - shift(fx2, 1) + fy2 - shift(fy2, 0, 1)) * rarea, 0.0,
+        )
+        heat = jnp.where(damp_mask, dd8 - dw * (w + 0.5 * dw), 0.0)
+        return {
+            "heat_source": np.asarray(heat),
+            "diss_est": np.asarray(jnp.where(damp_mask, heat, 0.0)),
+            "dw": np.asarray(dw),
+        }
+
+
+@register("Wdivergence")
+class TranslateWdivergence(BaseOpCase):
+    """reference translate_d_sw.py TranslateWdivergence (:235): apply
+    fluxes to w (d_sw.py apply_fluxes :122 — output is mass-weighted
+    q*delp + flux increment; serialized under the name 'w')."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "q": VarSpec(serialname="w"), "delp": VarSpec(),
+            "gx": VarSpec(), "gy": VarSpec(),
+        }
+        h = self.h
+        self.out_vars = {"q": VarSpec(serialname="w", istart=h, jstart=h)}
+
+    def make_inputs(self, s0, s1, gd):
+        shape3 = s1["pt"].shape
+        return {
+            "q": s1["w"], "delp": s1["delp"],
+            "gx": smooth_field(shape3, 60, 1e9),
+            "gy": smooth_field(shape3, 61, 1e9),
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.d_sw import flux_increment
+
+        q = jnp.asarray(inputs["q"]) * jnp.asarray(inputs["delp"]) + \
+            flux_increment(
+                jnp.asarray(inputs["gx"]), jnp.asarray(inputs["gy"]),
+                jnp.asarray(self.gd.horizontal.rarea)[..., None],
+        )
+        return {"q": np.asarray(q)}
+
+
+@register("XPPM_2")
+class TranslateXPPM2(TranslateXPPM):
+    """reference translate_xppm.py TranslateXPPM_2 (:61): same op, q
+    serialized under its plain name and the flux under 'xflux_2'."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars["q"] = VarSpec(serialname="q")
+        self.out_vars["xflux"] = VarSpec(serialname="xflux_2",
+                                         istart=self.h, jstart=self.h)
+
+    def make_inputs(self, s0, s1, gd):
+        return {"q": s1["pt"], "c": smooth_field(s1["pt"].shape, 62, 0.2),
+                "iord": 8}
+
+
+@register("FvTp2d_2")
+class TranslateFvTp2d2(TranslateFvTp2d):
+    """reference translate_fvtp2d.py TranslateFvTp2d_2 (:78): the
+    mass-flux-less variant (area fluxes only)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        del self.in_vars["x_mass_flux"]
+        del self.in_vars["y_mass_flux"]
+        for name in ("x_mass_flux", "y_mass_flux"):
+            self.stagger.pop(name, None)
+
+    def make_inputs(self, s0, s1, gd):
+        shape3 = s1["pt"].shape
+        return {
+            "q": s1["pt"],
+            "crx": smooth_field(shape3, 63, 0.2),
+            "cry": smooth_field(shape3, 64, 0.2),
+            "x_area_flux": smooth_field(shape3, 65, 1e7),
+            "y_area_flux": smooth_field(shape3, 66, 1e7),
+            "hord": 6,
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.ops.fvtp2d import fv_tp_2d
+
+        fx, fy = fv_tp_2d(
+            jnp.asarray(inputs["q"]), jnp.asarray(inputs["crx"]),
+            jnp.asarray(inputs["cry"]),
+            jnp.asarray(inputs["x_area_flux"]),
+            jnp.asarray(inputs["y_area_flux"]),
+            self.gd, self.n, self.h, int(inputs["hord"]),
+        )
+        return {
+            "q": inputs["q"],
+            "q_x_flux": np.asarray(fx),
+            "q_y_flux": np.asarray(fy),
+        }
+
+
+@register("DynCore")
+class TranslateDynCore(BaseOpCase):
+    """reference translate_dyncore.py TranslateDynCore: the acoustic
+    step (AcousticDynamics.__call__) savepoint — the single most
+    diagnostic sub-step case.  In/out sets mirror the reference's
+    (:60-110: state fields incl. pe/pk/peln blocks, wsd, accumulators;
+    out drops ak/bk/phis/pkz); parameters mdt/akap/ptop/n_map.
+    max_error 2e-6 matches the reference setting."""
+
+    max_error = 2e-6
+    ignore_near_zero_errors = ("wsd",)
+
+    STATE3 = ("cappa", "u", "v", "w", "delz", "delp", "pt", "omga",
+              "ua", "va", "uc", "vc", "q_con", "diss_estd")
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        h = self.h
+        self.in_vars = {name: VarSpec() for name in self.STATE3}
+        self.in_vars["pe"] = VarSpec(istart=h - 1, jstart=h - 1, kaxis=1)
+        self.in_vars["pk"] = VarSpec(istart=h, jstart=h)
+        self.in_vars["peln"] = VarSpec(istart=h, jstart=h, kaxis=1)
+        self.in_vars["phis"] = VarSpec()
+        self.in_vars["wsd"] = VarSpec(istart=h, jstart=h)
+        self.in_vars["mfxd"] = VarSpec(istart=h, jstart=h)
+        self.in_vars["mfyd"] = VarSpec(istart=h, jstart=h)
+        self.in_vars["cxd"] = VarSpec(istart=h)
+        self.in_vars["cyd"] = VarSpec(jstart=h)
+        self.in_vars["pkz"] = VarSpec(istart=h, jstart=h)
+        self.in_vars["ak"] = VarSpec(column=True)
+        self.in_vars["bk"] = VarSpec(column=True)
+        for p in ("mdt", "akap", "ptop", "n_map"):
+            self.in_vars[p] = VarSpec()
+        self.out_vars = {
+            name: spec for name, spec in self.in_vars.items()
+            if name not in ("ak", "bk", "phis", "pkz", "mdt", "akap",
+                            "ptop", "n_map")
+        }
+        self.stagger = {
+            "u": (0, 1), "vc": (0, 1), "v": (1, 0), "uc": (1, 0),
+            "mfxd": (1, 0), "cxd": (1, 0), "mfyd": (0, 1), "cyd": (0, 1),
+        }
+
+    def make_inputs(self, s0, s1, gd):
+        d = {name: s1[name] for name in self.STATE3 if name in s1}
+        d["cappa"] = np.full(s1["pt"].shape, 0.28)
+        d["diss_estd"] = s1["diss_estd"]
+        d.update(
+            pe=s1["pe"], pk=s1["pk"], peln=s1["peln"],
+            phis=s1["phis"], wsd=np.zeros(s1["ps"].shape),
+            mfxd=s1["mfxd"], mfyd=s1["mfyd"], cxd=s1["cxd"],
+            cyd=s1["cyd"], pkz=s1["pkz"],
+            ak=np.asarray(gd.vertical.ak), bk=np.asarray(gd.vertical.bk),
+            mdt=225.0, akap=2.0 / 7.0,
+            ptop=float(np.asarray(gd.vertical.ptop)), n_map=1,
+        )
+        return d
+
+    def compute(self, inputs):
+        import jax
+        import jax.numpy as jnp
+
+        from pace_tpu.models.fv3 import acoustics
+        from pace_tpu.models.fv3.dynamics import DynamicalCore
+        from pace_tpu.models.fv3.state import DycoreState, FIELD_METADATA
+
+        arrays = {}
+        zero3 = np.zeros_like(np.asarray(inputs["pt"], self.dtype))
+        for name in FIELD_METADATA:
+            if name in inputs:
+                arrays[name] = np.asarray(inputs[name], self.dtype)
+            else:
+                arrays[name] = np.zeros_like(zero3)
+        state = DycoreState.from_numpy(arrays, dtype=arrays["u"].dtype)
+        # timestep here is the k_split-subdivided mdt, exactly what the
+        # reference passes (translate_dyncore.py: acoustic_dynamics(
+        # state, timestep=inputs["mdt"], n_map=state.n_map))
+        core = DynamicalCore(
+            self.config, self.sizing, self.gd,
+            timestep=float(inputs["mdt"]) * self.config.k_split,
+        )
+        s = {f: getattr(state, f) for f in FIELD_METADATA}
+        cappa = jnp.asarray(inputs["cappa"], self.dtype)
+        wsd = jnp.asarray(inputs["wsd"], self.dtype)
+
+        def run(s, cappa, wsd):
+            return acoustics.acoustic_dynamics(
+                s, cappa, self.gd, core.column_namelist, self.config,
+                core.topo, self.n, self.h, float(inputs["mdt"]),
+                int(inputs["n_map"]), wsd, core.vertical_params,
+            )
+
+        s, cappa, wsd, _pem = jax.jit(run)(s, cappa, wsd)
+        out = {name: np.asarray(s[name]) for name in self.out_vars
+               if name in s}
+        out["cappa"] = np.asarray(cappa)
+        out["wsd"] = np.asarray(wsd)
+        return out

@@ -682,3 +682,45 @@ class TranslateDriver(TranslateFVDynamics):
         out = jax.jit(step)(state)
         return {name: np.asarray(getattr(out, name))
                 for name in self.out_vars}
+
+
+@register("UpdateDWindsPhys")
+class TranslateUpdateDWindsPhys(BasePhysCase):
+    """reference stencils translate_update_dwind_phys.py
+    TranslateUpdateDWindsPhys: A-grid wind tendencies projected onto the
+    D-grid winds (AGrid2DGridPhysics; here
+    models/coupler/update_dwind_phys.py update_dwind_phys)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.in_vars = {
+            "u": VarSpec(), "u_dt": VarSpec(),
+            "v": VarSpec(), "v_dt": VarSpec(),
+            "dt": VarSpec(),
+        }
+        self.out_vars = {"u": VarSpec(), "v": VarSpec()}
+        self.stagger = {"u": (0, 1), "v": (1, 0)}
+
+    def make_inputs(self, s0, s1, gd):
+        shape3 = s1["pt"].shape
+        return {
+            "u": s1["u"], "v": s1["v"],
+            "u_dt": smooth_field(shape3, 71, 1e-4),
+            "v_dt": smooth_field(shape3, 72, 1e-4),
+            "dt": 225.0,
+        }
+
+    def compute(self, inputs):
+        import jax.numpy as jnp
+
+        from pace_tpu.models.coupler.update_dwind_phys import (
+            update_dwind_phys,
+        )
+
+        topo = get_topology(self.n, self.h)
+        u, v = update_dwind_phys(
+            jnp.asarray(inputs["u"]), jnp.asarray(inputs["v"]),
+            jnp.asarray(inputs["u_dt"]), jnp.asarray(inputs["v_dt"]),
+            self.gd, topo, self.n, self.h, float(inputs["dt"]),
+        )
+        return {"u": np.asarray(u), "v": np.asarray(v)}

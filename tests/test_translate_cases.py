@@ -136,7 +136,7 @@ def _build_inputs(name, sizing, gd, state0, state1, case=None):
             "mfxd": s1["mfxd"], "mfyd": s1["mfyd"],
             "cxd": s1["cxd"], "cyd": s1["cyd"],
         }
-    if name == "FillZ":
+    if name == "Fillz":
         dp2 = s1["delp"][:, :, H, :]  # (6, Ni, nz) j-collapsed
         nq = 7
         qt = np.stack(
