@@ -146,7 +146,8 @@ def d_sw(
     from pace_tpu.ops.pallas import fvtp2d_pallas
 
     same_hord = config.hord_dp == config.hord_vt == config.hord_tm
-    use_fused_dsw = same_hord and fvtp2d_pallas.fused_dsw_enabled(delp.dtype)
+    use_fused_dsw = same_hord and fvtp2d_pallas.fused_dsw_enabled(
+        delp.dtype, config.n_split)
     if use_fused_dsw:
         # ONE batched kernel call for all five transports (delp, w,
         # q_con, pt, vorticity): the per-field unit-flux multiply is the

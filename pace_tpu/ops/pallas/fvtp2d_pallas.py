@@ -133,23 +133,27 @@ def _k3_outer_y(qax_ref, fyin_ref, cry_ref, ymf_ref, dya_ref,
     fy_ref[0, 0] = 0.5 * (mean2 + fy_in) * ymf
 
 
-def fused_dsw_enabled(dtype=None) -> bool:
-    """The d_sw five-field fused transport (all-ones-unit-flux
-    transport_batched means):
-    **default OFF since round 4** — on the chip it corrupts the d_sw
-    u/v outputs at acoustic substep 4 of configs with n_split >= 4
-    (C24 dt=300 n4 and the production C48 k2/n6 both NaN within 4
-    steps; per-op probes show the ONLY divergence vs the unfused path
-    is d_sw's u/v at substep 4, fed by the batched vorticity mean —
-    batch index 4 of 5).  Substeps 1-3 and the n_split=2 bench config
-    are bit-clean, which is why the 2026-08-19 flag matrix (10-step
-    C48 k1/n2: 112.79 vs 115.56 ms/step, digests matching) missed it.
-    See docs/KNOWN_ISSUES.md "fused d_sw five-field transport".
-    PACE_FUSED_DSW=1 re-enables for kernel debugging ONLY."""
+def fused_dsw_enabled(dtype=None, n_split: int = 0) -> bool:
+    """The d_sw five-field fused transport, all-ones-unit-flux
+    formulation riding the SAME transport_batched kernels as tracer
+    advection: **default ON for n_split >= 4 since round 5**, where it
+    wins (C48 k2/n6 354.6 vs 364.1 ms; C24 n4 40.04 vs 40.35, n6 51.28
+    vs 52.54) — a wash at n_split=2, so the light config keeps the
+    unfused 3-call path.
+
+    History: the round-3 default used dedicated batched *means* kernels
+    that the chip miscompiled at acoustic substep >= 4 of n_split >= 4
+    configs (docs/KNOWN_ISSUES.md "fused d_sw five-field transport");
+    those kernels were deleted.  The surviving formulation passed the
+    round-5 trajectory gate: 300-step C24 runs at n_split {2, 4, 6} all
+    finite with digests at trajectory-divergence level of the unfused
+    path, and the full 9-day JW06 wave within 0.7 hPa of the unfused
+    artifact (scripts/fused_dsw_trajectory.sh, 2026-08-21).
+    PACE_FUSED_DSW=1/0 forces either way."""
     env = os.environ.get("PACE_FUSED_DSW")
     if env is not None:
         return env == "1" and enabled(dtype)
-    return False
+    return n_split >= 4 and enabled(dtype)
 
 
 def _chunk(N: int) -> int:

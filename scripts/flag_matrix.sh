@@ -3,13 +3,11 @@
 # Each combo runs in its own process (the PACE_* flags are read at
 # trace time).  Results append to /tmp/flag_matrix.jsonl.
 #
-# Round-4 additions: the production-configured k2/n6 rows.  n_split >= 4
-# is the configuration class where the fused five-field d_sw transport
-# (PACE_FUSED_DSW) corrupts u/v on the chip (docs/KNOWN_ISSUES.md);
-# the *_fused rows are regression canaries EXPECTED to report
-# finite=false until the miscompile is root-caused — a finite=true there
-# means the bug has shifted, not that it is fixed (verify against the
-# unfused digest before re-enabling the default).
+# Round-5 state: the fused d_sw transport passed its trajectory gate
+# (scripts/fused_dsw_trajectory.sh) and is default-ON for n_split >= 4,
+# so prod_k2n6 runs fused by default and prod_k2n6_unfused is the
+# comparison row.  ALL rows are expected finite; any finite=false is a
+# regression (docs/KNOWN_ISSUES.md for the resolved round-4 history).
 set -u
 set -o pipefail
 cd "$(dirname "$0")/.."
@@ -29,5 +27,5 @@ run spline        PACE_PALLAS_SPLINE=1
 run fillz         PACE_PALLAS_FILLZ=1
 run fused_dsw     PACE_FUSED_DSW=1
 run prod_k2n6     PACE_BENCH_KSPLIT=2 PACE_BENCH_NSPLIT=6
-run prod_k2n6_fused PACE_FUSED_DSW=1 PACE_BENCH_KSPLIT=2 PACE_BENCH_NSPLIT=6
+run prod_k2n6_unfused PACE_FUSED_DSW=0 PACE_BENCH_KSPLIT=2 PACE_BENCH_NSPLIT=6
 cat "$OUT"

@@ -85,8 +85,12 @@ def main(days: int = 9, n: int = 24, nz: int = 79, dt: float = 300.0):
         "platform": jax.devices()[0].platform,
         "days": results,
     }
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "tests", "golden", "jw_day9.json")
+    # PACE_JW_OUT redirects the output (e.g. for flag-variant runs such
+    # as the fused-d_sw trajectory validation) so experiment runs never
+    # clobber the committed artifact.
+    path = os.environ.get("PACE_JW_OUT") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "golden", "jw_day9.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
