@@ -15,7 +15,7 @@ def fix_tracer(q, dp):
     """q/dp (..., nz). Returns fixed q."""
     from pace_tpu.ops.pallas import fillz_pallas
 
-    if fillz_pallas.enabled(q.dtype) and q.ndim == 4:
+    if q.ndim == 4 and fillz_pallas.enabled(q.dtype, q.shape[1]):
         return fillz_pallas.fix_tracer_pallas(q, dp)
 
     nz = q.shape[-1]

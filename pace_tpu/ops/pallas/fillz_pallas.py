@@ -22,14 +22,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def enabled(dtype=None) -> bool:
-    """Opt-in via PACE_PALLAS_FILLZ=1 (f32 only; Mosaic has no 64-bit).
-    REJECTED as a default: the on-chip flag matrix (2026-08-19, C48/79
-    f32) measured 149.85 ms/step vs 115.56 baseline (and 56 s compile).
-    Kept for the numerics pin (tests/test_fillz_pallas.py)."""
+def enabled(dtype=None, ni: int = 0) -> bool:
+    """Default ON for f32 on TPU at C96 and larger (storage ni >= 100);
+    PACE_PALLAS_FILLZ=1/0 forces either way (f64 always takes the jnp
+    path; Mosaic has no 64-bit).
+
+    Measured on-chip (full dycore step): at C48 the whole-column kernel
+    LOSES badly (147.7 vs 100.5 ms, flag matrix r5) — the per-block
+    launches don't amortize at 56x56 tiles — but at C96 it WINS
+    (410.8 vs 426.2 ms, 2026-08-21): columns per core grow 4x while the
+    scan path's per-iteration overhead is resolution-independent.
+    Numerics pinned by tests/test_fillz_pallas.py."""
     if dtype is not None and jnp.dtype(dtype).itemsize >= 8:
         return False
-    return os.environ.get("PACE_PALLAS_FILLZ") == "1"
+    env = os.environ.get("PACE_PALLAS_FILLZ")
+    if env is not None:
+        return env == "1"
+    return ni >= 100 and jax.default_backend() == "tpu"
 
 
 def _pick_xb(ni: int) -> int:
@@ -138,26 +147,29 @@ def fix_tracer_pallas(q, dp, interpret: bool = False):
     qp, _ = pad_lanes(to_kj(q))
     dpp, _ = pad_lanes(to_kj(dp))
     njp = qp.shape[-1]
+    # one 128-lane tile per block (same constraint as sim1_pallas: with
+    # njp > 128 Mosaic rejects the dynamic sublane slices)
+    LB = min(njp, 128)
 
     def spec():
         return pl.BlockSpec(
-            (1, XB, nz, njp),
-            (lambda t, c: (t, c, 0, 0)),
+            (1, XB, nz, LB),
+            (lambda t, c, j: (t, c, 0, j)),
             memory_space=pltpu.VMEM,
         )
 
     out = pl.pallas_call(
         lambda qr, dr, orf, qsr, ur, lr, zr: _kernel(
             qr.at[0], dr.at[0], orf.at[0], qsr, ur, lr, zr, nz=nz),
-        grid=(six, ni // XB),
+        grid=(six, ni // XB, njp // LB),
         in_specs=[spec(), spec()],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct((six, ni, nz, njp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((XB, nz, njp), dtype),  # qs staged values
-            pltpu.VMEM((XB, nz, njp), dtype),  # upper_fix
-            pltpu.VMEM((XB, nz, njp), dtype),  # lower_fix
-            pltpu.VMEM((XB, nz, njp), dtype),  # zfix flags
+            pltpu.VMEM((XB, nz, LB), dtype),  # qs staged values
+            pltpu.VMEM((XB, nz, LB), dtype),  # upper_fix
+            pltpu.VMEM((XB, nz, LB), dtype),  # lower_fix
+            pltpu.VMEM((XB, nz, LB), dtype),  # zfix flags
         ],
         interpret=interpret,
     )(qp, dpp)

@@ -218,11 +218,17 @@ def sim1_pallas(w, dm, gm, dz, pt, pm, pem, ws, dt, p_fac,
     ins = [pad_lanes(to_kj(q))[0] for q in (w, dm, gm, dz, pt, pm, pem)]
     ins.append(pad_lanes(ws[:, :, None, :])[0])  # (6, Ni, 1, Njp)
     njp = ins[0].shape[-1]
+    # block the lane axis at one 128-lane tile: with njp > 128 (C128+,
+    # where Nj pads to 256) Mosaic rejects the dynamic sublane slices
+    # inside the solver ("slice shape along dimension 2 must be aligned
+    # to tiling (8), but is 79"), so every block keeps the proven
+    # (XB, k, 128) geometry and the grid walks lane tiles.
+    LB = min(njp, 128)
 
     def spec(kdim):
         return pl.BlockSpec(
-            (1, XB, kdim, njp),
-            (lambda t, c: (t, c, 0, 0)),
+            (1, XB, kdim, LB),
+            (lambda t, c, j: (t, c, 0, j)),
             memory_space=pltpu.VMEM,
         )
 
@@ -243,19 +249,19 @@ def sim1_pallas(w, dm, gm, dz, pt, pm, pem, ws, dt, p_fac,
 
     w_o, dz_o, pe_o = pl.pallas_call(
         kernel,
-        grid=(six, ni // XB),
+        grid=(six, ni // XB, njp // LB),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((XB, nz + 1, njp), dtype),  # pp
-            pltpu.VMEM((XB, nz + 1, njp), dtype),  # gam
-            pltpu.VMEM((XB, nz, njp), dtype),      # aa
-            pltpu.VMEM((XB, nz, njp), dtype),      # wbuf
-            pltpu.VMEM((XB, nz, njp), dtype),      # gam2
-            pltpu.VMEM((XB, nz, njp), dtype),      # grf (g_rat, padded)
-            pltpu.VMEM((XB, nz, njp), dtype),      # bbr (bb diag, padded)
-            pltpu.VMEM((XB, nz, njp), dtype),      # ddr (rhs, padded)
+            pltpu.VMEM((XB, nz + 1, LB), dtype),   # pp
+            pltpu.VMEM((XB, nz + 1, LB), dtype),   # gam
+            pltpu.VMEM((XB, nz, LB), dtype),       # aa
+            pltpu.VMEM((XB, nz, LB), dtype),       # wbuf
+            pltpu.VMEM((XB, nz, LB), dtype),       # gam2
+            pltpu.VMEM((XB, nz, LB), dtype),       # grf (g_rat, padded)
+            pltpu.VMEM((XB, nz, LB), dtype),       # bbr (bb diag, padded)
+            pltpu.VMEM((XB, nz, LB), dtype),       # ddr (rhs, padded)
         ],
         interpret=interpret,
     )(*ins)

@@ -24,12 +24,13 @@ def _kl(q):
 
 def _spline_interfaces(a1, delp, qs, iv):
     """Interface values by tridiagonal cubic spline (set_initial_vals).
-    a1/delp (..., nz); qs (...). Returns q (..., nz+1), gam (..., nz+1)."""
-    from pace_tpu.ops.pallas import spline_pallas
+    a1/delp (..., nz); qs (...). Returns q (..., nz+1), gam (..., nz+1).
 
-    if spline_pallas.enabled(a1.dtype) and a1.ndim == 4:
-        return spline_pallas.spline_interfaces_pallas(a1, delp, qs, iv)
-
+    A whole-column Pallas twin (PACE_PALLAS_SPLINE) was deleted in
+    round 5: it lost on-chip at C48 (182.7 vs 100.5 ms full step) and
+    its compile SIGABRTs the XLA fusion pipeline at C96 — see
+    docs/KNOWN_ISSUES.md "spline Pallas kernel".  The lax.scan form
+    below is the production path at every grid size."""
     nz = a1.shape[-1]
     a = _kf(a1)
     dp = _kf(delp)

@@ -23,7 +23,6 @@ run() {
 
 run baseline      PACE_NOOP=0
 run nosim1        PACE_PALLAS_SIM1=0
-run spline        PACE_PALLAS_SPLINE=1
 run fillz         PACE_PALLAS_FILLZ=1
 run fused_dsw     PACE_FUSED_DSW=1
 run prod_k2n6     PACE_BENCH_KSPLIT=2 PACE_BENCH_NSPLIT=6

@@ -47,7 +47,11 @@ def main():
         k_split=int(os.environ.get("PACE_BENCH_KSPLIT", "1")),
         n_split=int(os.environ.get("PACE_BENCH_NSPLIT", "2")),
     )
-    core = DynamicalCore(config, sizing, grid_data, timestep=450.0)
+    # advective CFL: scale the step with grid spacing exactly like
+    # bench.py (C48 -> 450 s, C96 -> 225 s); a fixed 450 s at C96 blows
+    # up physically within a few steps (measured: NaN by step 10).
+    core = DynamicalCore(config, sizing, grid_data,
+                         timestep=450.0 * (48.0 / n))
 
     def run_n(state, n_steps):
         return jax.lax.fori_loop(

@@ -29,7 +29,11 @@ nz = 79
 
 sizing = GridSizing(n, nz)
 gd = generate_grid_data(n, nz, dtype=jnp.float32)
-config = DynamicalCoreConfig(do_sat_adj=False, k_split=1, n_split=2)
+config = DynamicalCoreConfig(
+    do_sat_adj=False,
+    k_split=int(os.environ.get("PACE_BENCH_KSPLIT", "1")),
+    n_split=int(os.environ.get("PACE_BENCH_NSPLIT", "2")),
+)
 core = DynamicalCore(config, sizing, gd, timestep=450.0)
 state = init_baroclinic_state(sizing, dtype=jnp.float32)
 

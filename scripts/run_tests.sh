@@ -15,7 +15,7 @@ GROUPS_LIST=(
   "tests/test_topology.py tests/test_util_components.py tests/test_grid_generation.py tests/test_grid_options.py tests/test_driver_config.py tests/test_driver_cli.py tests/test_example_configs.py tests/test_legacy_restart.py tests/test_netcdf_io.py tests/test_zarr_monitor.py tests/test_translate_harness.py tests/test_traffic_replay.py tests/test_debug_nancheck.py tests/test_jw_regression.py"
   "tests/test_translate_cases.py"
   "tests/test_microphysics.py tests/test_coupled_physics.py tests/test_fv_subgridz.py tests/test_emulator.py tests/test_geos_wrapper.py tests/test_tropical_cyclone.py"
-  "tests/test_vertical_remap.py tests/test_pallas_transport.py tests/test_fillz_pallas.py tests/test_sim1_pallas.py tests/test_spline_pallas.py tests/test_collective_bytes.py tests/test_tracer_subcycle.py tests/test_fused_dsw.py"
+  "tests/test_vertical_remap.py tests/test_pallas_transport.py tests/test_fillz_pallas.py tests/test_sim1_pallas.py tests/test_collective_bytes.py tests/test_tracer_subcycle.py tests/test_fused_dsw.py"
   "tests/test_dycore_step.py tests/test_f32_step.py tests/test_checkpoints.py"
   "tests/test_golden.py tests/test_op_golden.py"
   "tests/test_cosine_bell.py"

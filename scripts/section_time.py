@@ -163,10 +163,6 @@ def nhpg_fn(args):
 
 timeit("nh_p_grad", nhpg_fn, (s0["u"], s0["v"]))
 
-_os.environ["PACE_PALLAS_SPLINE"] = "1"
-timeit("vertical remap (pallas spline)", remap_only, (s0, cappa, wsd0),
-       iters=8)
-_os.environ["PACE_PALLAS_SPLINE"] = "0"
 
 # ---- remap sub-sections (round 3): where do the remap ms go? ----
 from pace_tpu.ops import fillz as fillz_mod  # noqa: E402
