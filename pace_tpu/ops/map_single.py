@@ -71,7 +71,7 @@ def lagrangian_contributions_stacked(pe1, pe2, q4_1, q4_2, q4_3, q4_4,
     )[0]
 
 
-def lagrangian_contributions_spaces(space_groups):
+def lagrangian_contributions_spaces(space_groups, chans_last=False):
     """Shared-indicator remap contraction for several COORDINATE SPACES.
 
     space_groups: list of (pe1_s, pe2_s, a1_s, a2_s, a3_s, a4_s, dp1_s)
@@ -120,7 +120,7 @@ def lagrangian_contributions_spaces(space_groups):
         == jax.lax.broadcasted_iota(jnp.int32, j.shape + (nz,), j.ndim)
     ).astype(dt)
 
-    pieces = []
+    parts_cf = []
     for pe1, pe2, q4_1, q4_2, q4_3, q4_4, dp1 in space_groups:
         # whole-layer integrals of the reconstruction (its own analytic
         # integral, not a1*dp1 -- exact even where the PPM constraints
@@ -133,34 +133,62 @@ def lagrangian_contributions_spaces(space_groups):
         err = (c_hi[..., 1:] - c_hi[..., :-1]) - integ
         c_lo = -jnp.concatenate([z, jnp.cumsum(err, -1)], -1)
         shared = jnp.stack([pe1[..., :-1], dp1], 0)
-        pieces.append(jnp.concatenate([
+        parts_cf.append(jnp.concatenate([
             jnp.broadcast_to(shared, shared.shape[:1] + q4_2.shape[1:]),
             q4_2, q4_3 - q4_2, q4_4, c_hi[..., :-1], c_lo[..., :-1],
         ], axis=0))
-    chans = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
-    # materialization fence ON THE CONCATENATED CHANNELS: without it the
-    # TPU layout assignment relayout-copies every channel piece into the
-    # dot operand layout separately (measured: 9 full-stack {4,0,3,2,1}
-    # copies, 46 ms for the 9-tracer remap); with one fence XLA fuses
-    # the whole limiter cascade into the concat, materializes chans
-    # once, and performs ONE layout copy (26 ms).  This fence subsumes
-    # the old per-coefficient barrier (every downstream consumer reads
-    # the einsum outputs, not the raw coefficients).
-    chans = jax.lax.optimization_barrier(chans)
-    out = jnp.einsum(
-        "...km,c...m->c...k", ind, chans,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # Channel placement is CONFIG-DEPENDENT (both measured on-chip,
+    # bit-identical results, 2026-08-21):
+    # - chans_last=True puts channels on the LAST axis so the dot's
+    #   minor pair (m=nz, c) matches what the elementwise cascade
+    #   produces -- no whole-operand {4,0,3,2,1} relayout.  WINS in the
+    #   k2/n6 production step (349.8 vs 354.8 ms) and in isolation
+    #   (25.8 vs 29.4 ms 9-tracer stack) but LOSES in the k1/n2 step
+    #   (103.9 vs 100.5 ms): there XLA instead relayouts the (…, k, c)
+    #   outputs for the state consumers.  remapping.py selects it for
+    #   n_split >= 4 (same gate family as the fused d_sw transport).
+    # - chans_last=False (default) concatenates channel-first.
+    # The materialization fence ON THE COMBINED CHANNELS is
+    # load-bearing in both forms: without it the layout assignment
+    # relayout-copies every channel piece separately (measured 41.4 ms
+    # channel-first / 26.6 ms channel-last, 9-tracer stack).
+    if chans_last:
+        parts = []
+        for piece in parts_cf:
+            parts.extend(piece[i] for i in range(piece.shape[0]))
+        chans = jax.lax.optimization_barrier(jnp.stack(parts, -1))
+        out_kc = jnp.einsum(
+            "...km,...mc->...kc", ind, chans,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        chans = jax.lax.optimization_barrier(
+            parts_cf[0] if len(parts_cf) == 1
+            else jnp.concatenate(parts_cf, 0))
+        out = jnp.einsum(
+            "...km,c...m->c...k", ind, chans,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     results = []
     off = 0
     for pe1, pe2, q4_1, q4_2, q4_3, q4_4, dp1 in space_groups:
         T = q4_1.shape[0]
-        p_l, dpl = out[off], out[off + 1]
-        c2 = out[off + 2:off + 2 + T]
-        delta = out[off + 2 + T:off + 2 + 2 * T]
-        c4 = out[off + 2 + 2 * T:off + 2 + 3 * T]
-        f_hi = out[off + 2 + 3 * T:off + 2 + 4 * T]
-        f_lo0 = out[off + 2 + 4 * T:off + 2 + 5 * T]
+        if chans_last:
+            def grp(i, off=off, T=T):
+                # (..., k, T) channel block -> (T, ..., k) field stack
+                return jnp.moveaxis(
+                    out_kc[..., off + 2 + i * T:off + 2 + (i + 1) * T],
+                    -1, 0)
+
+            p_l, dpl = out_kc[..., off], out_kc[..., off + 1]
+            c2, delta, c4, f_hi, f_lo0 = (grp(i) for i in range(5))
+        else:
+            p_l, dpl = out[off], out[off + 1]
+            c2 = out[off + 2:off + 2 + T]
+            delta = out[off + 2 + T:off + 2 + 2 * T]
+            c4 = out[off + 2 + 2 * T:off + 2 + 3 * T]
+            f_hi = out[off + 2 + 3 * T:off + 2 + 4 * T]
+            f_lo0 = out[off + 2 + 4 * T:off + 2 + 5 * T]
         off += 2 + 5 * T
 
         # partial integral inside layer j up to the target interface
@@ -203,7 +231,7 @@ def map_single_multi(items, pe1, pe2, n, h):
     return [out[i] for i in range(len(items))]
 
 
-def map_single_spaces(space_groups, n, h):
+def map_single_spaces(space_groups, n, h, chans_last=False):
     """Remap groups of fields across several ORDER-EQUIVALENT coordinate
     spaces through one shared indicator + MXU contraction.
 
@@ -242,7 +270,8 @@ def map_single_spaces(space_groups, n, h):
         stacked = [jnp.concatenate(parts, 0) for parts in zip(*coeffs)]
         contraction_inputs.append((pe1, pe2, *stacked, dp1))
         meta.append((sizes, stacked_in))
-    outs = lagrangian_contributions_spaces(contraction_inputs)
+    outs = lagrangian_contributions_spaces(contraction_inputs,
+                                           chans_last=chans_last)
     all_results = []
     for out, (sizes, stacked_in) in zip(outs, meta):
         results = []

@@ -83,6 +83,10 @@ def lagrangian_to_eulerian(
             (peln, pn2, [(pt, kord_tm, 1, None, T_MIN)]),
         ],
         n, h,
+        # channel-last contraction operand wins for the heavy acoustic
+        # configs and loses at n_split < 4 (measured both ways on-chip;
+        # see lagrangian_contributions_spaces)
+        chans_last=config.n_split >= 4,
     )
     if config.fill:
         stacked = jax.vmap(lambda q: fillz_mod.fix_tracer(q, dp2))(stacked)
