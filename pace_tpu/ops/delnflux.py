@@ -55,6 +55,13 @@ def deln_flux_nosg(q, del6_u, del6_v, rarea, nord_col, damp_col, n, h,
         d2 = q
 
     def ccx(a):
+        # reference copy_corners_x_nord fills ONLY nord>0 levels
+        # (delnflux.py:638 `__INLINED(nordX > 0)` guards).  The
+        # in-sweep mask looks droppable (fx2/fy2 writes are themselves
+        # masked, so d2 on nord==0 levels is dead — fluxes proven
+        # bit-identical without it), but dropping it REGRESSES the
+        # k2/n6 step 349.97 -> 353.6 ms (2x measured, 2026-08-21): the
+        # selects double as good fusion boundaries.  Keep.
         fixed = corner_ops.copy_corners(a, n, h, "x")
         return jnp.where(mask_hi, fixed, a) if nmax > 0 else a
 
