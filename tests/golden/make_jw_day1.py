@@ -41,6 +41,16 @@ def run_day1():
     the interior, plus ps extrema in hPa.  Shared by the generator and
     the regression test so both execute the identical program."""
     import jax
+
+    # persistent compile cache: the 192-step C12 f64 jit costs >1 h to
+    # compile on constrained hosts; generator and --check reruns share
+    # this entry (same env -> same executable)
+    cache_dir = os.environ.get(
+        "PACE_XLA_CACHE", os.path.expanduser("~/.cache/pace_tpu_xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -73,11 +83,40 @@ def run_day1():
     return dig
 
 
+RTOL = 1e-7
+
+
+def check() -> int:
+    """Rerun the segment and compare against the committed record at the
+    calibrated threshold; returns a process exit code.  Run in its own
+    process with the SAME environment main() uses (single CPU device) so
+    generator and checker share one persistent-cache entry — under the
+    test suite's 8-virtual-device conftest the compile would not hit the
+    generator's cache (tests/test_jw_cpu_anchor.py invokes this via
+    subprocess for exactly that reason)."""
+    with open(PATH) as f:
+        ref = json.load(f)["digest"]
+    got = run_day1()
+    rc = 0
+    for name, vals in ref.items():
+        for i, (a, b) in enumerate(zip(vals, got[name])):
+            scale = max(abs(a), abs(b), 1e-30)
+            rel = abs(a - b) / scale
+            if rel > RTOL:
+                print(f"MISMATCH {name}[{i}]: committed {a!r} vs rerun "
+                      f"{b!r} (rel {rel:.3e} > {RTOL})")
+                rc = 1
+    print("jw day-1 anchor:", "FAIL" if rc else "OK")
+    return rc
+
+
 def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    if "--check" in sys.argv:
+        sys.exit(check())
     dig = run_day1()
     out = {
         "config": {"n": N, "nz": NZ, "dt": DT, "steps": STEPS,
