@@ -58,7 +58,24 @@ def _shift_axis(q, d, axis):
     the chip: finite and digest-identical, but SLOWER everywhere
     (C48 k1/n2 101.2 vs 100.5 ms; k2/n6 375.8 vs 364.2 ms) -- the
     concats materialize just like the pads and add the wrap-copy
-    bytes.  Deleted per the win-or-delete rule; do not re-try."""
+    bytes.  Deleted per the win-or-delete rule; do not re-try.
+
+    Round 5 (later) also tried a 2-D shared-pad variant (ONE fixed
+    (4,4) pad of both spatial axes per array, shifts as window slices
+    -- a different graph from the round-3 per-(array, axis) chained
+    form, hoping to dodge its fusion bug).  Per-op bit-identity held
+    exhaustively, and the C48 k1/n2 step measured 93.9 ms (vs 100.5),
+    but the on-chip gate killed it twice over: (a) with the Pallas SIM1
+    solver the 20-step digest left the correct-program cluster by ~5%
+    in u/w (finite but WRONG trajectory), and (b) with the scan solver
+    the k2/n6 production config NaN'd outright (would have read
+    325.6 ms).  Conclusion after three formulations across three
+    rounds: THIS XLA/Mosaic revision miscompiles CSE'd shared pads
+    feeding the acoustic-substep fusions in every form; the ~7 GB/step
+    shift-pad census line is toolchain-blocked until an XLA update, and
+    per-call slice+pad is the only correct lowering.  Do not re-land
+    any shared-pad shift without the full gate (flag matrix incl.
+    nosim1 + prod_k2n6 rows + digest-cluster check + JW day-9)."""
     from jax import lax
 
     if abs(d) > _H:
