@@ -28,3 +28,8 @@ run fused_dsw     PACE_FUSED_DSW=1
 run prod_k2n6     PACE_BENCH_KSPLIT=2 PACE_BENCH_NSPLIT=6
 run prod_k2n6_unfused PACE_FUSED_DSW=0 PACE_BENCH_KSPLIT=2 PACE_BENCH_NSPLIT=6
 cat "$OUT"
+# Digest-cluster gate: a miscompile can stay finite and still be wrong
+# (round-5 pad2d shift: in-spec timing, ~5% u-digest shift).  Every row
+# must land inside the committed reference matrix's per-config digest
+# envelope.
+python scripts/digest_cluster.py "$OUT"
